@@ -1,0 +1,13 @@
+"""Test configuration: force CPU backend with 8 virtual devices.
+
+Multi-chip sharding is validated on a virtual CPU mesh (no multi-chip hardware
+in CI); the real-TPU path is exercised by bench.py / __graft_entry__.py.
+"""
+
+import os
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
