@@ -1,0 +1,74 @@
+"""Benchmark: visual point cloud forecast frames/sec on one TPU chip.
+
+Measures the full ViDAR forecast step (the reference's ``forward_test``
+equivalent: 5-frame history encode + 6-frame autoregressive future decode +
+depth decode) at the flagship configuration, synthetic inputs.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` compares against an estimated A100 reference throughput for
+the same workload (see BASELINE.md: the reference publishes no FPS; 0.5
+forecast-frames/sec is our measured-order estimate for the torch model's
+forward_test on A100 — to be refined with a real measurement).
+"""
+
+import json
+import time
+
+import numpy as np
+
+A100_FORECAST_FPS_ESTIMATE = 0.5
+
+# Reduced-cost flags for CI smoke (full run on TPU by default).
+import os
+SMOKE = os.environ.get('BENCH_SMOKE', '0') == '1'
+
+
+def main():
+    import jax
+    from vidar_tpu.models import ViDAR
+    from vidar_tpu.configs import vidar_base, vidar_tiny
+    from vidar_tpu.data import make_synthetic_batch
+
+    if SMOKE:
+        cfg = vidar_tiny()
+        bs, q, f, cams, ih, iw, pts = 1, 2, 2, 3, 64, 64, 128
+    else:
+        cfg = vidar_base()
+        # nuScenes eval shapes: 6 cams, padded 928x1600, queue 4+1, 6 futures
+        bs, q, f, cams, ih, iw, pts = 1, 4, 6, 6, 928, 1600, 32768
+        cfg['test_future_frame_num'] = 6
+
+    model = ViDAR(**cfg, dtype=jax.numpy.bfloat16)
+    rng = np.random.default_rng(0)
+    batch = make_synthetic_batch(rng, bs=bs, queue_length=q, future_length=f,
+                                 num_cams=cams, img_h=ih, img_w=iw,
+                                 max_points=pts)
+    key = jax.random.PRNGKey(0)
+    params = model.init({'params': key, 'dropout': key}, batch, train=False)
+
+    @jax.jit
+    def forecast(params, batch):
+        return model.apply(params, batch, train=False)
+
+    # compile + warmup
+    out = forecast(params, batch)
+    jax.block_until_ready(out)
+
+    iters = 3 if SMOKE else 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forecast(params, batch)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    fps = bs / dt
+    print(json.dumps({
+        'metric': 'forecast_frames_per_sec',
+        'value': round(fps, 4),
+        'unit': 'samples/s (5-frame history + 6-future forecast)',
+        'vs_baseline': round(fps / A100_FORECAST_FPS_ESTIMATE, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

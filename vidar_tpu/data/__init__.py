@@ -1,0 +1,2 @@
+from .structures import ViDARBatch
+from .synthetic import make_synthetic_batch

@@ -2,11 +2,12 @@ from .layers import (FFN, LearnedPositionalEncoding, MLP,
                      torch_linear_kernel_init, torch_linear_bias_init,
                      xavier_uniform_init)
 from .attention import (TemporalSelfAttention, SpatialCrossAttention,
-                        MSDeformableAttention3D, PredictionMSDeformableAttention)
+                        MSDeformableAttention3D,
+                        PredictionMSDeformableAttention)
 from .latent_rendering import LatentRendering
-from .encoder import BEVFormerEncoder
-from .transformer import PerceptionTransformer
-from .vidar_decoder import PredictionDecoder
+from .encoder import BEVFormerEncoder, point_sampling
+from .transformer import PerceptionTransformer, BEVEncoderHead
+from .vidar_decoder import PredictionDecoder, PredictionTransformerLayer
 from .vidar_head import ViDARHead
 from .resnet import ResNet
 from .fpn import FPN

@@ -1,0 +1,224 @@
+"""Ray-wise losses and point-cloud decoding for future occupancy volumes.
+
+TPU re-formulation of the reference's ray machinery
+(projects/mmdet3d_plugin/bevformer/dense_heads/vidar_head_base.py):
+
+* ``_get_grid_features`` (reference :420-509) loops python-side over
+  (batch, frame) pairs with dynamic ray counts and calls F.grid_sample per
+  pair. Here every GT point is a lane in a fixed-size [bs, P] array carrying
+  its own frame index; waypoint sampling over all (point, waypoint) pairs is
+  ONE frame-indexed trilinear gather into the [bs, V, Z, H, W] sigma volume,
+  with padding/out-of-window lanes masked by zero loss weight.
+* the ray cross-entropy along each ray (reference :586-592): the first
+  waypoint is the GT hit (positive class), waypoints outside the volume get
+  -inf logits.
+* the expected-distance (gumbel straight-through) decode (reference :754-773)
+  and the argmax depth decode used at eval (reference :662-752).
+
+All coordinates follow the reference's voxel-grid convention: grid index g in
+[0, size], normalised g/size*2-1 then sampled with align_corners=False — i.e.
+pixel coordinate g - 0.5.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+NEG_INF = -1e9  # used instead of float('-inf') to keep grads NaN-free
+
+
+def coords_to_voxel_grids(xyz: Array, bev_h: int, bev_w: int,
+                          pillar_num: int, pc_range: Sequence[float]) -> Array:
+    """Metric coords -> continuous voxel-grid coords [0, size] per axis.
+
+    (reference e2e_predictor_utils.py:36-45.)
+    """
+    pc = pc_range
+    gx = (xyz[..., 0] - pc[0]) / (pc[3] - pc[0]) * bev_w
+    gy = (xyz[..., 1] - pc[1]) / (pc[4] - pc[1]) * bev_h
+    gz = (xyz[..., 2] - pc[2]) / (pc[5] - pc[2]) * pillar_num
+    return jnp.stack([gx, gy, gz], axis=-1)
+
+
+def sample_sigma_frames(sigma: Array, grids: Array, frame_idx: Array) -> Array:
+    """Frame-indexed trilinear sampling of per-frame sigma volumes.
+
+    Args:
+      sigma: [bs, V, Z, H, W] occupancy logits per rollout frame.
+      grids: [bs, P, G, 3] continuous voxel coords (x->W, y->H, z->Z) in
+        [0, size] units.
+      frame_idx: [bs, P] int32 rollout-frame of each ray; lanes outside
+        [0, V) sample zeros.
+
+    Returns:
+      [bs, P, G] fp32 sampled values (zero outside the volume, matching
+      grid_sample's zero padding).
+    """
+    bs, v, zdim, h, w = sigma.shape
+    p, g = grids.shape[1], grids.shape[2]
+    flat = sigma.reshape(bs, v * zdim * h * w).astype(jnp.float32)
+
+    # pixel coords under align_corners=False: pix = g - 0.5
+    px = grids[..., 0].astype(jnp.float32) - 0.5
+    py = grids[..., 1].astype(jnp.float32) - 0.5
+    pz = grids[..., 2].astype(jnp.float32) - 0.5
+
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    z0 = jnp.floor(pz)
+    wx1 = px - x0
+    wy1 = py - y0
+    wz1 = pz - z0
+    ix0 = x0.astype(jnp.int32)
+    iy0 = y0.astype(jnp.int32)
+    iz0 = z0.astype(jnp.int32)
+
+    fi = frame_idx[:, :, None]  # [bs, P, 1]
+    frame_ok = (fi >= 0) & (fi < v)
+    base = jnp.clip(fi, 0, v - 1) * (zdim * h * w)
+
+    out = jnp.zeros((bs, p, g), jnp.float32)
+    for dz, wz in ((0, 1.0 - wz1), (1, wz1)):
+        for dy, wy in ((0, 1.0 - wy1), (1, wy1)):
+            for dx, wx in ((0, 1.0 - wx1), (1, wx1)):
+                iz = iz0 + dz
+                iy = iy0 + dy
+                ix = ix0 + dx
+                ok = (frame_ok & (iz >= 0) & (iz < zdim) & (iy >= 0) &
+                      (iy < h) & (ix >= 0) & (ix < w))
+                idx = base + (jnp.clip(iz, 0, zdim - 1) * h +
+                              jnp.clip(iy, 0, h - 1)) * w + \
+                    jnp.clip(ix, 0, w - 1)
+                val = jnp.take_along_axis(flat, idx.reshape(bs, p * g),
+                                          axis=1).reshape(bs, p, g)
+                out = out + val * (wz * wy * wx) * ok.astype(jnp.float32)
+    return out
+
+
+class RayFeatures(NamedTuple):
+    feats: Array        # [bs, P, G+1] waypoint logits, -inf outside volume
+    lengths: Array      # [bs, P, G+1] distance (grid units) from origin
+    ray_valid: Array    # [bs, P] bool — ray's GT point inside the volume
+    outside: Array      # [bs, P, G+1] bool — waypoint outside the volume
+
+
+def ray_waypoint_features(sigma: Array, origin_grids: Array, gt_grids: Array,
+                          frame_idx: Array, ray_grid_num: int,
+                          ray_grid_step: float) -> RayFeatures:
+    """Sample waypoints along origin->gt rays from per-frame sigma volumes.
+
+    Waypoint 0 is the GT point itself (the CE positive class); waypoints
+    1..G march from the origin at (k+0.5)*step in grid units
+    (reference vidar_head_base.py:433-451).
+
+    Args:
+      sigma: [bs, V, Z, H, W].
+      origin_grids: [bs, V, 3] ray origins (voxel-grid coords) per frame.
+      gt_grids: [bs, P, 3] GT points (voxel-grid coords).
+      frame_idx: [bs, P] int32 per-ray frame (out of [0, V) -> ignored lane).
+    """
+    bs, v, zdim, h, w = sigma.shape
+    p = gt_grids.shape[1]
+    g = ray_grid_num
+
+    fi_safe = jnp.clip(frame_idx, 0, v - 1)
+    origin = jnp.take_along_axis(origin_grids, fi_safe[..., None], axis=1)
+
+    r = gt_grids - origin
+    r_norm = r / jnp.sqrt(jnp.maximum((r ** 2).sum(-1, keepdims=True), 1e-12))
+    steps = (jnp.arange(g, dtype=jnp.float32) + 0.5) * ray_grid_step
+    march = origin[:, :, None, :] + r_norm[:, :, None, :] * \
+        steps[None, None, :, None]
+    way = jnp.concatenate([gt_grids[:, :, None, :], march], axis=2)
+    lengths = jnp.sqrt(((way - origin[:, :, None, :]) ** 2).sum(-1))
+
+    # normalised in [-1, 1] per axis purely for the validity tests
+    size = jnp.asarray([w, h, zdim], jnp.float32)
+    norm = way / size * 2.0 - 1.0
+    outside = jnp.any((norm <= -1.0) | (norm >= 1.0), axis=-1)  # [bs,P,G+1]
+    ray_valid = jnp.all((norm[:, :, 0, :] > -1.0) &
+                        (norm[:, :, 0, :] < 1.0), axis=-1)  # [bs, P]
+
+    feats = sample_sigma_frames(sigma, way, frame_idx)
+    feats = jnp.where(outside, NEG_INF, feats)
+    return RayFeatures(feats, lengths, ray_valid, outside)
+
+
+def ray_ce_loss(feats: Array, weights: Array) -> Array:
+    """Cross entropy along each ray with the GT waypoint (index 0) positive.
+
+    Args:
+      feats: [bs, P, G+1] logits (-inf at invalid waypoints).
+      weights: [bs, P] per-ray loss weight (0 disables a lane).
+    Returns scalar: sum(w * CE) / clamp(sum(w), 1)
+    (reference vidar_head_base.py:586-592).
+    """
+    logz = jax.nn.logsumexp(feats, axis=-1)
+    ce = logz - feats[..., 0]
+    total_w = jnp.maximum(weights.sum(), 1.0)
+    return (ce * weights).sum() / total_w
+
+
+def gumbel_softmax_distance(feats: Array, lengths: Array,
+                            rng: Optional[jax.Array]) -> Array:
+    """Straight-through expected-distance decode (reference :754-773).
+
+    Hard gumbel sample picks a waypoint whose length is the (detached)
+    distance; the differentiable factor is P(next waypoints beyond the sample).
+    With rng=None the hard sample degenerates to argmax (eval determinism).
+    """
+    if rng is not None:
+        u = jax.random.uniform(rng, feats.shape, minval=1e-20, maxval=1.0)
+        gumbel = -jnp.log(-jnp.log(u))
+        noisy = feats + gumbel
+    else:
+        noisy = feats
+    hard_idx = jnp.argmax(noisy, axis=-1)
+    pred_dist = jnp.take_along_axis(lengths, hard_idx[..., None],
+                                    axis=-1)[..., 0]
+    pred_dist = jax.lax.stop_gradient(pred_dist)
+
+    shifted = feats - jax.lax.stop_gradient(feats.max(-1, keepdims=True))
+    exp = jnp.exp(shifted)
+    exp_whole = exp.sum(-1)
+    nxt = (lengths > pred_dist[..., None]).astype(jnp.float32)
+    prob_next = (exp * nxt).sum(-1) / jnp.maximum(exp_whole, 1e-20)
+    prob_next = 1.0 - jax.lax.stop_gradient(prob_next) + prob_next
+    return prob_next * pred_dist
+
+
+def argmax_ray_depth(sigma: Array, origin_grids: Array, gt_grids: Array,
+                     frame_idx: Array, ray_grid_num: int,
+                     ray_grid_step: float):
+    """Eval-time depth decode (reference vidar_head_base.py:700-737).
+
+    Marches G waypoints (no GT prepend), masks exactly-zero samples to -inf
+    (out-of-volume signature of zero-padded grid_sample), and takes the argmax
+    waypoint's distance.
+
+    Returns (pred_dist, gt_dist) in grid units, [bs, P] each.
+    """
+    bs, v, zdim, h, w = sigma.shape
+    p = gt_grids.shape[1]
+    g = ray_grid_num
+
+    fi_safe = jnp.clip(frame_idx, 0, v - 1)
+    origin = jnp.take_along_axis(origin_grids, fi_safe[..., None], axis=1)
+    r = gt_grids - origin
+    gt_dist = jnp.sqrt(jnp.maximum((r ** 2).sum(-1), 0.0))
+    r_norm = r / jnp.sqrt(jnp.maximum((r ** 2).sum(-1, keepdims=True), 1e-12))
+    steps = (jnp.arange(g, dtype=jnp.float32) + 0.5) * ray_grid_step
+    way = origin[:, :, None, :] + r_norm[:, :, None, :] * \
+        steps[None, None, :, None]
+    lengths = jnp.sqrt(((way - origin[:, :, None, :]) ** 2).sum(-1))
+
+    s = sample_sigma_frames(sigma, way, frame_idx)
+    s = jnp.where(s == 0.0, NEG_INF, s)
+    idx = jnp.argmax(s, axis=-1)
+    pred_dist = jnp.take_along_axis(lengths, idx[..., None], axis=-1)[..., 0]
+    return pred_dist, gt_dist

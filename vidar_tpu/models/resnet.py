@@ -1,0 +1,222 @@
+"""ResNet (caffe-style) with DCNv2 stages — NHWC, frozen BatchNorm.
+
+Capability match for the reference's mmdet ResNet-101 backbone config
+(projects/configs/vidar_pretrain/nusc_1_8_subset/vidar_1_8_nusc_3future.py:88-98):
+depth 101, out_indices (1,2,3), frozen_stages=1, BN frozen + eval, caffe style
+(stride-2 on the bottleneck's first 1x1 conv), DCNv2 (modulated deformable
+conv, deform_groups=1) replacing the 3x3 conv in stages 3-4.
+
+TPU-native choices:
+  * NHWC layout, bf16-friendly convs via ``nn.Conv`` (XLA conv → MXU).
+  * BatchNorm is *always* frozen in the reference, so it is folded into a
+    per-channel affine (scale, bias); the checkpoint import shim computes
+    scale = gamma/sqrt(var+eps), bias = beta - mean*scale.
+  * DCNv2 is a 9-tap bilinear gather (offsets+masks from a zero-init conv)
+    followed by a dense [9*Cin -> Cout] matmul — the gather reuses the same
+    formulation as our deformable attention; no CUDA im2col.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+
+ARCH_SETTINGS = {
+    50: (3, 4, 6, 3),
+    101: (3, 4, 23, 3),
+    152: (3, 8, 36, 3),
+}
+
+
+def _conv_kernel_init(key, shape, dtype=jnp.float32):
+    """torch Conv2d default: kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in))."""
+    fan_in = int(np.prod(shape[:-1]))
+    bound = 1.0 / np.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class FrozenBN(nn.Module):
+    """Frozen BatchNorm folded to y = x * scale + bias."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param('scale', nn.initializers.ones, (self.features,))
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        return x * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+class DeformConv2d(nn.Module):
+    """Modulated deformable conv (DCNv2), 3x3, deform_groups=1.
+
+    offsets/masks come from a zero-initialised regular conv (mmcv
+    ModulatedDeformConv2dPack convention), so at init this is an ordinary 3x3
+    conv with 0.5 modulation.
+    """
+    features: int
+    stride: int = 1
+    dilation: int = 1
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c_in = x.shape
+        k = 3
+        d = self.dilation
+        s = self.stride
+        ho, wo = h // s, w // s
+
+        off_mask = nn.Conv(3 * k * k, (k, k), strides=(s, s),
+                           padding=[(d, d), (d, d)],
+                           kernel_dilation=(d, d),
+                           kernel_init=nn.initializers.zeros,
+                           bias_init=nn.initializers.zeros,
+                           dtype=self.dtype, name='conv_offset')(x)
+        # mmcv layout: [o1_y, o1_x, ..., o9_y, o9_x, m1..m9] along channels.
+        off = off_mask[..., :2 * k * k].astype(jnp.float32)
+        mask = jax.nn.sigmoid(off_mask[..., 2 * k * k:].astype(jnp.float32))
+        off = off.reshape(b, ho, wo, k * k, 2)  # (dy, dx) per tap
+
+        # base sampling grid per tap
+        ys = jnp.arange(ho, dtype=jnp.float32) * s
+        xs = jnp.arange(wo, dtype=jnp.float32) * s
+        gy, gx = jnp.meshgrid(ys, xs, indexing='ij')  # [ho, wo]
+        ky, kx = jnp.meshgrid(
+            jnp.arange(k, dtype=jnp.float32) * d - d,
+            jnp.arange(k, dtype=jnp.float32) * d - d, indexing='ij')
+        ky = ky.reshape(-1)
+        kx = kx.reshape(-1)
+
+        sy = gy[None, :, :, None] + ky + off[..., 0]
+        sx = gx[None, :, :, None] + kx + off[..., 1]
+
+        y0 = jnp.floor(sy)
+        x0 = jnp.floor(sx)
+        wy1 = (sy - y0)[..., None]
+        wx1 = (sx - x0)[..., None]
+        iy0 = y0.astype(jnp.int32)
+        ix0 = x0.astype(jnp.int32)
+
+        flat = x.reshape(b, h * w, c_in)
+
+        def gather(iy, ix):
+            valid = (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
+            idx = jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)
+            out = jnp.take_along_axis(
+                flat, idx.reshape(b, ho * wo * k * k, 1), axis=1)
+            out = out.reshape(b, ho, wo, k * k, c_in)
+            return out * valid[..., None].astype(out.dtype)
+
+        v00 = gather(iy0, ix0)
+        v01 = gather(iy0, ix0 + 1)
+        v10 = gather(iy0 + 1, ix0)
+        v11 = gather(iy0 + 1, ix0 + 1)
+        sampled = (v00 * ((1 - wy1) * (1 - wx1)).astype(v00.dtype) +
+                   v01 * ((1 - wy1) * wx1).astype(v00.dtype) +
+                   v10 * (wy1 * (1 - wx1)).astype(v00.dtype) +
+                   v11 * (wy1 * wx1).astype(v00.dtype))
+        sampled = sampled * mask.reshape(b, ho, wo, k * k, 1).astype(
+            sampled.dtype)
+
+        kernel = self.param('kernel', _conv_kernel_init,
+                            (k * k * c_in, self.features))
+        out = sampled.reshape(b, ho, wo, k * k * c_in) @ kernel.astype(
+            sampled.dtype)
+        return out
+
+
+class Bottleneck(nn.Module):
+    """Caffe-style bottleneck: stride on conv1; optional DCN on conv2."""
+    mid_channels: int
+    stride: int = 1
+    dilation: int = 1
+    with_downsample: bool = False
+    with_dcn: bool = False
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        out_channels = self.mid_channels * 4
+        identity = x
+
+        h = nn.Conv(self.mid_channels, (1, 1), strides=(self.stride,) * 2,
+                    use_bias=False, kernel_init=_conv_kernel_init,
+                    dtype=self.dtype, name='conv1')(x)
+        h = FrozenBN(self.mid_channels, name='bn1')(h)
+        h = nn.relu(h)
+
+        if self.with_dcn:
+            h = DeformConv2d(self.mid_channels, stride=1,
+                             dilation=self.dilation, dtype=self.dtype,
+                             name='conv2')(h)
+        else:
+            d = self.dilation
+            h = nn.Conv(self.mid_channels, (3, 3), strides=(1, 1),
+                        padding=[(d, d), (d, d)], kernel_dilation=(d, d),
+                        use_bias=False, kernel_init=_conv_kernel_init,
+                        dtype=self.dtype, name='conv2')(h)
+        h = FrozenBN(self.mid_channels, name='bn2')(h)
+        h = nn.relu(h)
+
+        h = nn.Conv(out_channels, (1, 1), use_bias=False,
+                    kernel_init=_conv_kernel_init, dtype=self.dtype,
+                    name='conv3')(h)
+        h = FrozenBN(out_channels, name='bn3')(h)
+
+        if self.with_downsample:
+            identity = nn.Conv(out_channels, (1, 1),
+                               strides=(self.stride,) * 2, use_bias=False,
+                               kernel_init=_conv_kernel_init,
+                               dtype=self.dtype, name='downsample_conv')(x)
+            identity = FrozenBN(out_channels, name='downsample_bn')(identity)
+        return nn.relu(h + identity)
+
+
+class ResNet(nn.Module):
+    """ResNet with frozen-BN and per-stage DCN, returning ``out_indices`` stages."""
+    depth: int = 101
+    out_indices: Tuple[int, ...] = (1, 2, 3)
+    frozen_stages: int = 1
+    stage_with_dcn: Tuple[bool, ...] = (False, False, True, True)
+    strides: Tuple[int, ...] = (1, 2, 2, 2)
+    dilations: Tuple[int, ...] = (1, 1, 1, 1)
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        """x: [B, H, W, 3] (caffe-normalised BGR). Returns list of NHWC maps."""
+        blocks = ARCH_SETTINGS[self.depth]
+
+        h = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, kernel_init=_conv_kernel_init,
+                    dtype=self.dtype, name='conv1')(x)
+        h = FrozenBN(64, name='bn1')(h)
+        h = nn.relu(h)
+        # torch MaxPool2d(3, stride=2, padding=1)
+        h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        if self.frozen_stages >= 0:
+            h = jax.lax.stop_gradient(h)
+
+        outs = []
+        mid = 64
+        for stage, num_blocks in enumerate(blocks):
+            for i in range(num_blocks):
+                stride = self.strides[stage] if i == 0 else 1
+                h = Bottleneck(
+                    mid_channels=mid,
+                    stride=stride,
+                    dilation=self.dilations[stage],
+                    with_downsample=(i == 0),
+                    with_dcn=self.stage_with_dcn[stage],
+                    dtype=self.dtype,
+                    name=f'layer{stage + 1}_{i}')(h)
+            if stage + 1 <= self.frozen_stages:
+                h = jax.lax.stop_gradient(h)
+            if stage in self.out_indices:
+                outs.append(h)
+            mid *= 2
+        return outs

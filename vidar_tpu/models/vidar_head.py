@@ -1,0 +1,358 @@
+"""ViDAR future-prediction head (template + base + V1 multiframe, unified).
+
+Capability match for reference
+projects/mmdet3d_plugin/bevformer/dense_heads/vidar_head_base.py (template
+:32-209, base :393-509 loss machinery) and vidar_head_v1.py (multi-frame
+residual heads :45-92, gt re-anchoring :94-148, per-frame loss gating
+:150-219, eval channel select :221-250).
+
+The decoder-input assembly (BEV queries + future can-bus embedding + frame
+embedding) and the per-layer prediction MLPs live here; the ray losses are the
+static-shape formulations in ``ray_loss.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+
+from .layers import MLP, LearnedPositionalEncoding, TorchLinear, normal_init
+from .vidar_decoder import PredictionDecoder
+from . import ray_loss
+from ..ops.chamfer import chamfer_distance_masked
+
+
+class ViDARHead(nn.Module):
+    embed_dims: int = 256
+    bev_h: int = 200
+    bev_w: int = 200
+    pc_range: Sequence[float] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    num_pred_fcs: int = 0
+    num_pred_height: int = 16
+    can_bus_dims: Tuple[int, ...] = (0, 1, 2, 17)
+    can_bus_norm: bool = True
+    history_queue_length: int = 4
+    pred_history_frame_num: int = 3
+    pred_future_frame_num: int = 1
+    per_frame_loss_weight: Tuple[float, ...] = (0.2, 0.4, 0.6, 1.0, 1.2)
+    # frame_loss_weight rows: one per rollout frame (+ ignore row)
+    loss_weight: Tuple[Tuple[float, ...], ...] = ((1,), (1,), (1,), (1,), (0,))
+    ray_grid_num: int = 512
+    ray_grid_step: float = 1.0
+    use_ce_loss: bool = True
+    use_dist_loss: bool = False
+    use_dense_loss: bool = True
+    dense_loss_weight: float = 1.0
+    decoder_num_layers: int = 3
+    latent_render_lids: Tuple[int, ...] = ()
+    latent_render_cfg: Optional[dict] = None
+    dtype: jnp.dtype | None = None
+
+    @property
+    def pred_frame_num(self) -> int:
+        return 1 + self.pred_history_frame_num + self.pred_future_frame_num
+
+    def setup(self):
+        self.bev_embedding = self.param(
+            'bev_embedding', normal_init,
+            (self.bev_h * self.bev_w, self.embed_dims))
+        self.prev_frame_embedding = self.param(
+            'prev_frame_embedding', normal_init, (1, self.embed_dims))
+        self.can_bus_mlp = MLP((self.embed_dims // 2, self.embed_dims),
+                               final_norm=self.can_bus_norm,
+                               dtype=self.dtype, name='can_bus_mlp')
+        self.positional_encoding = LearnedPositionalEncoding(
+            num_feats=self.embed_dims // 2, row_num_embed=self.bev_h,
+            col_num_embed=self.bev_w, name='positional_encoding')
+        self.transformer = PredictionDecoder(
+            num_layers=self.decoder_num_layers,
+            embed_dims=self.embed_dims,
+            feedforward_channels=self.embed_dims * 2,
+            latent_render_lids=self.latent_render_lids,
+            latent_render_cfg=self.latent_render_cfg,
+            dtype=self.dtype, name='transformer')
+        # per-decoder-layer prediction MLPs (reference vidar_head_v1.py:45-62)
+        heads = []
+        norms = []
+        for lvl in range(self.decoder_num_layers):
+            layers = []
+            lns = []
+            for i in range(self.num_pred_fcs):
+                layers.append(TorchLinear(self.embed_dims, dtype=self.dtype,
+                                          name=f'bev_pred_head_{lvl}_fc{i}'))
+                lns.append(nn.LayerNorm(name=f'bev_pred_head_{lvl}_ln{i}'))
+            layers.append(TorchLinear(
+                self.pred_frame_num * self.num_pred_height, dtype=self.dtype,
+                name=f'bev_pred_head_{lvl}_out'))
+            heads.append(layers)
+            norms.append(lns)
+        self.bev_pred_heads = heads
+        self.bev_pred_norms = norms
+
+    def predict_next(self, prev_feats, future_can_bus, tgt_points, ref_points,
+                     *, deterministic: bool = True):
+        """One autoregressive step: memory frames -> next-frame BEV features.
+
+        Args:
+          prev_feats: [bs, F, H*W, C] aligned memory BEV frames.
+          future_can_bus: [bs, len(can_bus_dims)] target-frame can-bus slice.
+          tgt_points: [bs, H*W, 2] target-frame query coords in [0, 1].
+          ref_points: [bs, H*W, F, 2] memory-frame-aligned coords in [0, 1].
+        Returns [layers, bs, H*W, C].
+        """
+        bs = prev_feats.shape[0]
+        queries = jnp.broadcast_to(self.bev_embedding[None],
+                                   (bs,) + self.bev_embedding.shape)
+        can_emb = self.can_bus_mlp(future_can_bus.astype(queries.dtype))
+        queries = queries + can_emb[:, None, :]
+        bev_pos = self.positional_encoding(bs).reshape(
+            bs, self.bev_h * self.bev_w, -1)
+        prev_in = prev_feats + self.prev_frame_embedding[None, :, None, :]
+        return self.transformer(queries, prev_in, tgt_points, ref_points,
+                                bev_pos, self.bev_h, self.bev_w,
+                                deterministic=deterministic)
+
+    def forward_head(self, next_bev_feats):
+        """Per-layer MLP heads with residual multi-frame parameterisation.
+
+        Args:
+          next_bev_feats: [frames, layers, bs, H*W, C]
+        Returns:
+          [frames, layers, pred_frame_num, bs, H*W, num_pred_height]
+        (reference vidar_head_v1.py:64-92: channels other than the current
+        frame are residuals added to the current-frame channel.)
+        """
+        outs = []
+        for lvl in range(self.decoder_num_layers):
+            x = next_bev_feats[:, lvl]
+            for layer, ln in zip(self.bev_pred_heads[lvl][:-1],
+                                 self.bev_pred_norms[lvl]):
+                x = nn.relu(ln(layer(x)))
+            x = self.bev_pred_heads[lvl][-1](x)
+            f, bs, n, _ = x.shape
+            x = x.reshape(f, bs, n, self.num_pred_height, self.pred_frame_num)
+            cur = self.pred_history_frame_num
+            base = x[..., cur:cur + 1]
+            x = jnp.concatenate([
+                x[..., :cur] + base, base, x[..., cur + 1:] + base], axis=-1)
+            # -> [frames, pred_frame_num, bs, H*W, Z]
+            outs.append(x.transpose(0, 4, 1, 2, 3))
+        return jnp.stack(outs, axis=1)
+
+    # ------------------------------------------------------------------ loss
+
+    def _channel_frame_transforms(self, cur2ref, ref2cur, channel: int,
+                                  num_rollout: int):
+        """src->tgt 4x4s for one prediction channel (row-vector convention).
+
+        src tindex = v + (Hq - pred_hist) + channel, tgt tindex = v + Hq for
+        rollout frame v (reference vidar_head_v1.py:167-170,110-115).
+        """
+        hq = self.history_queue_length
+        start = hq - self.pred_history_frame_num + channel
+        src = jax.lax.dynamic_slice_in_dim(cur2ref, start, num_rollout, axis=1)
+        tgt = jax.lax.dynamic_slice_in_dim(ref2cur, hq, num_rollout, axis=1)
+        return jnp.einsum('bvij,bvjk->bvik', src, tgt)  # [bs, V, 4, 4]
+
+    def _reanchor_points(self, gt_points, gt_tindex, src_to_tgt, channel: int,
+                         num_rollout: int):
+        """Map each GT point into its channel's target-frame coordinates.
+
+        Args:
+          gt_points: [bs, P, 3] metric xyz in their own frame.
+          gt_tindex: [bs, P] int32 window tindex (or -1 padding).
+          src_to_tgt: [bs, V, 4, 4].
+        Returns (pts_tgt [bs,P,3], frame_idx [bs,P] in [0,V) or -1,
+                 origins [bs,V,3]).
+        """
+        start = (self.history_queue_length - self.pred_history_frame_num +
+                 channel)
+        v_idx = gt_tindex - start
+        valid = (v_idx >= 0) & (v_idx < num_rollout) & (gt_tindex >= 0)
+        v_safe = jnp.clip(v_idx, 0, num_rollout - 1)
+
+        mats = jnp.take_along_axis(
+            src_to_tgt, v_safe[..., None, None], axis=1)  # [bs, P, 4, 4]
+        homo = jnp.concatenate(
+            [gt_points, jnp.ones_like(gt_points[..., :1])], -1)
+        pts = jnp.einsum('bpj,bpjk->bpk', homo, mats)[..., :3]
+
+        origin_h = jnp.asarray([0.0, 0.0, 0.0, 1.0])
+        origins = jnp.einsum('j,bvjk->bvk', origin_h, src_to_tgt)[..., :3]
+        frame_idx = jnp.where(valid, v_idx, -1)
+        return pts, frame_idx, origins
+
+    def loss(self, sigma_per_channel, gt_points, gt_tindex, cur2ref, ref2cur,
+             num_rollout: int, full_prev_bev_exists, rng=None):
+        """Full multi-channel ray loss.
+
+        Args:
+          sigma_per_channel: [channels, V, bs, H*W, Z] — LAST decoder layer's
+            prediction per channel (reference supervises only the last
+            intermediate, vidar_head_base.py:540).
+          gt_points: [bs, P, 3] metric points (own-frame coords).
+          gt_tindex: [bs, P] int32 window tindex, -1 for padding.
+          cur2ref / ref2cur: [bs, TQ, 4, 4] window transform chains.
+          num_rollout: V = number of supervised rollout frames.
+          full_prev_bev_exists: [] bool — gates aux channels
+            (reference vidar_head_v1.py:172-177).
+          rng: PRNG for the gumbel decode of the dense loss (None -> argmax).
+        Returns dict of scalar losses keyed like the reference
+        (``frame.{i}.regularization.loss.loss`` etc.).
+        """
+        zdim = self.num_pred_height
+        bs = gt_points.shape[0]
+        lw = np.asarray(self.loss_weight, np.float32)  # [rows, 1]
+        losses = {}
+        cur = self.pred_history_frame_num
+        for ch in range(self.pred_frame_num):
+            sigma = sigma_per_channel[ch]  # [V, bs, H*W, Z]
+            v, _, n, _ = sigma.shape
+            sigma_vol = sigma.transpose(1, 0, 3, 2).reshape(
+                bs, v, zdim, self.bev_h, self.bev_w)
+
+            s2t = self._channel_frame_transforms(cur2ref, ref2cur, ch,
+                                                 num_rollout)
+            pts, frame_idx, origins = self._reanchor_points(
+                gt_points, gt_tindex, s2t, ch, num_rollout)
+            gt_grids = ray_loss.coords_to_voxel_grids(
+                pts, self.bev_h, self.bev_w, zdim, self.pc_range)
+            origin_grids = ray_loss.coords_to_voxel_grids(
+                origins, self.bev_h, self.bev_w, zdim, self.pc_range)
+
+            rays = ray_loss.ray_waypoint_features(
+                sigma_vol, origin_grids, gt_grids, frame_idx,
+                self.ray_grid_num, self.ray_grid_step)
+
+            # per-ray weight: frame row weight; aux channels supervise only
+            # rollout frame 0 (reference vidar_head_v1.py:194-199).
+            if ch != cur:
+                frame_w = np.zeros((len(lw),), np.float32)
+                frame_w[0] = 1.0
+            else:
+                frame_w = lw[:, 0]
+            frame_w_arr = jnp.asarray(frame_w[:num_rollout])
+            ray_w = jnp.where(
+                frame_idx >= 0,
+                frame_w_arr[jnp.clip(frame_idx, 0, num_rollout - 1)], 0.0)
+            ray_w = ray_w * rays.ray_valid.astype(jnp.float32)
+
+            # channel gating (reference vidar_head_v1.py:215-216 + 172-177)
+            gate = jnp.where(
+                jnp.asarray(full_prev_bev_exists) | (ch == cur), 1.0, 0.0)
+            scale = self.per_frame_loss_weight[ch] * gate
+
+            if self.use_ce_loss:
+                ce = ray_loss.ray_ce_loss(rays.feats, ray_w)
+                losses[f'frame.{ch}.regularization.loss.loss'] = ce * scale
+            if self.use_dist_loss:
+                dist = ray_loss.gumbel_softmax_distance(
+                    rays.feats, rays.lengths, rng)
+                sf = (self.pc_range[3] - self.pc_range[0]) / self.bev_w
+                dist_l = jnp.abs(dist - rays.lengths[..., 0]) * sf
+                total_w = jnp.maximum(ray_w.sum(), 1.0)
+                losses[f'frame.{ch}.dist.loss.loss'] = (
+                    (dist_l * ray_w).sum() / total_w * scale)
+            if self.use_dense_loss and ch == cur:
+                dense = self._dense_voxel_loss(
+                    sigma_vol, gt_grids, frame_idx, origin_grids,
+                    frame_w_arr, rng)
+                losses[f'frame.{ch}.loss.dense_voxel.loss'] = dense * scale
+        return losses
+
+    def _dense_voxel_loss(self, sigma_vol, gt_grids, frame_idx, origin_grids,
+                          frame_w, rng):
+        """Dense chamfer loss between decoded voxel-ray pcd and GT grid pcd.
+
+        (reference vidar_head_base.py:594-659; downsample 4x, decode expected
+        distances with the gumbel straight-through estimator, chamfer in
+        0.1*grid units.)
+        """
+        bs, v, zdim, h, w = sigma_vol.shape
+        ds = 4
+        vh, vw, vz = h // ds, w // ds, zdim // ds
+        # voxel-center ray targets in grid units
+        zs = (np.arange(vz) + 0.5) / vz * zdim
+        ys = (np.arange(vh) + 0.5) / vh * h
+        xs = (np.arange(vw) + 0.5) / vw * w
+        gz, gy, gx = np.meshgrid(zs, ys, xs, indexing='ij')
+        vox = np.stack([gx.reshape(-1), gy.reshape(-1), gz.reshape(-1)], -1)
+        nvox = vox.shape[0]
+        vox = jnp.asarray(vox, jnp.float32)
+        vox = jnp.broadcast_to(vox[None], (bs, nvox, 3))
+
+        loss = 0.0
+        gt_pts_mask_all = frame_idx >= 0
+        for f in range(v):
+            fidx = jnp.full((bs, nvox), f, jnp.int32)
+            rays = ray_loss.ray_waypoint_features(
+                sigma_vol, origin_grids, vox, fidx,
+                self.ray_grid_num, self.ray_grid_step)
+            feats = rays.feats[..., 1:]
+            lengths = rays.lengths[..., 1:]
+            dist = ray_loss.gumbel_softmax_distance(feats, lengths, rng)
+
+            origin_f = origin_grids[:, f]  # [bs, 3]
+            r = vox - origin_f[:, None, :]
+            r_norm = r / jnp.sqrt(
+                jnp.maximum((r ** 2).sum(-1, keepdims=True), 1e-12))
+            pred_pcd = origin_f[:, None, :] + r_norm * dist[..., None]
+
+            gt_sel = gt_pts_mask_all & (frame_idx == f)
+            inner = ((gt_grids[..., 0] > 0) & (gt_grids[..., 0] < w - 1) &
+                     (gt_grids[..., 1] > 0) & (gt_grids[..., 1] < h - 1) &
+                     (gt_grids[..., 2] > 0) & (gt_grids[..., 2] < zdim - 1))
+            gt_mask = gt_sel & inner
+
+            for b in range(bs):
+                p = (pred_pcd[b] - origin_f[b]) * 0.1
+                g = (gt_grids[b] - origin_f[b]) * 0.1
+                l_src, l_dst, _, _ = chamfer_distance_masked(
+                    p, g, jnp.ones((p.shape[0],), bool), gt_mask[b])
+                has_gt = jnp.any(gt_mask[b]).astype(jnp.float32)
+                loss = loss + ((l_src + l_dst) / 2.0) * frame_w[f] * has_gt
+        denom = jnp.maximum(jnp.sum(frame_w), 1e-6) * bs
+        return loss / denom * self.dense_loss_weight
+
+    # ---------------------------------------------------------------- decode
+
+    def decode_pointcloud(self, sigma_cur, gt_points, gt_tindex, cur2ref,
+                          ref2cur, num_rollout: int):
+        """Eval decode of the current-frame channel (reference
+        vidar_head_v1.py:221-250 + base get_point_cloud_prediction:662-752).
+
+        Args:
+          sigma_cur: [V, bs, H*W, Z] current-channel last-layer predictions.
+        Returns dict with pred/gt distances (metric), per-ray frame index,
+        re-anchored GT points and per-frame origins (metric).
+        """
+        zdim = self.num_pred_height
+        v, bs, n, _ = sigma_cur.shape
+        sigma_vol = sigma_cur.transpose(1, 0, 3, 2).reshape(
+            bs, v, zdim, self.bev_h, self.bev_w)
+
+        cur = self.pred_history_frame_num
+        s2t = self._channel_frame_transforms(cur2ref, ref2cur, cur,
+                                             num_rollout)
+        pts, frame_idx, origins = self._reanchor_points(
+            gt_points, gt_tindex, s2t, cur, num_rollout)
+        gt_grids = ray_loss.coords_to_voxel_grids(
+            pts, self.bev_h, self.bev_w, zdim, self.pc_range)
+        origin_grids = ray_loss.coords_to_voxel_grids(
+            origins, self.bev_h, self.bev_w, zdim, self.pc_range)
+
+        pred_dist, gt_dist = ray_loss.argmax_ray_depth(
+            sigma_vol, origin_grids, gt_grids, frame_idx,
+            self.ray_grid_num, self.ray_grid_step)
+        sf = (self.pc_range[3] - self.pc_range[0]) / self.bev_w
+        return dict(
+            pred_dist=pred_dist * sf,
+            gt_dist=gt_dist * sf,
+            frame_idx=frame_idx,
+            gt_points_ref=pts,
+            origins=origins,
+        )

@@ -28,6 +28,12 @@ def _pairwise_min(src, dst, dst_mask, tile: int):
     """
     n = src.shape[0]
     m = dst.shape[0]
+    # Center the clouds: |x-y|^2 is translation-invariant, and a small common
+    # offset massively reduces fp32 cancellation in |x|^2+|y|^2-2xy.
+    center = jnp.sum(jnp.where(dst_mask[:, None], dst, 0.0), axis=0) / (
+        jnp.maximum(jnp.sum(dst_mask.astype(jnp.float32)), 1.0))
+    src = src - center
+    dst = dst - center
     src_sq = jnp.sum(src * src, axis=-1)  # [N]
 
     num_tiles = (m + tile - 1) // tile

@@ -1,0 +1,110 @@
+"""Training CLI (the reference's tools/train.py + dist_train.sh equivalent).
+
+Single entry point: JAX's runtime handles multi-host SPMD (no
+torch.distributed.launch equivalent needed — run one process per host under
+your launcher and the ``data`` mesh axis spans all chips).
+
+Usage:
+  python -m vidar_tpu.tools.train CONFIG [--work-dir DIR] [--resume-from CKPT]
+      [--cfg-options k.ey=value ...] [--seed N] [--deterministic]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description='Train a ViDAR model (TPU)')
+    p.add_argument('config', help='config file path')
+    p.add_argument('--work-dir', default=None)
+    p.add_argument('--resume-from', default=None)
+    p.add_argument('--load-from', default=None,
+                   help='torch .pth or orbax checkpoint to initialise from')
+    p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--deterministic', action='store_true')
+    p.add_argument('--cfg-options', nargs='+', default=None)
+    p.add_argument('--max-steps', type=int, default=None,
+                   help='override total steps (debug)')
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    from ..core.config import load_config, apply_overrides, dump_config
+    from ..models import ViDAR
+    from ..data.nuscenes import NuScenesViDARDataset
+    from ..parallel import make_mesh, shard_batch, replicated_sharding
+    from ..train import (create_train_state, make_optimizer, make_train_step)
+    from ..core.checkpoint import (save_checkpoint, load_checkpoint,
+                                   import_torch_checkpoint)
+
+    cfg = apply_overrides(load_config(args.config), args.cfg_options)
+    work_dir = args.work_dir or os.path.join(
+        'work_dirs', os.path.splitext(os.path.basename(args.config))[0])
+    os.makedirs(work_dir, exist_ok=True)
+    with open(os.path.join(work_dir, 'config_dump.txt'), 'w') as f:
+        f.write(dump_config(cfg))
+
+    model = ViDAR(**cfg['model'])
+    dataset = NuScenesViDARDataset(**cfg['data']['train'])
+
+    total_epochs = cfg.get('total_epochs', 24)
+    steps_per_epoch = len(dataset)
+    total_steps = args.max_steps or total_epochs * steps_per_epoch
+
+    key = jax.random.PRNGKey(args.seed)
+    batch0 = dataset[0]
+    params = model.init({'params': key, 'dropout': key}, batch0, train=False)
+    if args.load_from and args.load_from.endswith('.pth'):
+        params = import_torch_checkpoint(args.load_from, params)
+
+    opt_cfg = cfg.get('optimizer', {})
+    tx, sched = make_optimizer(
+        params,
+        base_lr=opt_cfg.get('lr', 2e-4),
+        weight_decay=opt_cfg.get('weight_decay', 0.01),
+        backbone_lr_mult=opt_cfg.get('backbone_lr_mult', 0.1),
+        grad_clip_norm=cfg.get('grad_clip_norm', 35.0),
+        total_steps=total_steps)
+    state = create_train_state(params, tx)
+
+    mesh = make_mesh()
+    state = jax.device_put(state, replicated_sharding(mesh))
+    step_fn = make_train_step(
+        model, mesh=mesh,
+        supervise_all_future=cfg['model'].get('supervise_all_future', True))
+
+    if args.resume_from:
+        state = load_checkpoint(args.resume_from, jax.eval_shape(
+            lambda: state))
+
+    log_interval = cfg.get('log_interval', 50)
+    ckpt_interval = cfg.get('checkpoint_interval_steps', steps_per_epoch)
+    rng = np.random.default_rng(args.seed)
+    t0 = time.time()
+    start = int(state.step)
+    for it in range(start, total_steps):
+        batch = dataset[it % steps_per_epoch]
+        batch = shard_batch(batch, mesh)
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(
+            rng.integers(2 ** 31)))
+        if (it + 1) % log_interval == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            m['lr'] = float(sched(it))
+            m['it/s'] = log_interval / (time.time() - t0)
+            t0 = time.time()
+            print(f'[{it + 1}/{total_steps}] ' + json.dumps(m))
+        if (it + 1) % ckpt_interval == 0:
+            save_checkpoint(os.path.join(work_dir, f'step_{it + 1}'), state)
+    save_checkpoint(os.path.join(work_dir, 'latest'), state)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,2 @@
+from .optim import make_optimizer, cosine_annealing_schedule
+from .step import TrainState, create_train_state, make_train_step
