@@ -63,7 +63,7 @@ def test_train_losses_finite(model_and_batch):
     key = jax.random.PRNGKey(1)
     losses, aux = model.apply(
         params, batch, train=True,
-        rngs={'dropout': key}, gumbel_rng=key)
+        rngs={'dropout': key, 'aug': key}, gumbel_rng=key)
     assert any('regularization' in k for k in losses)
     assert any('dense_voxel' in k for k in losses)
     for k, v in losses.items():
@@ -76,7 +76,8 @@ def test_train_grads_nonzero(model_and_batch):
 
     def loss_fn(p):
         losses, _ = model.apply(p, batch, train=True,
-                                rngs={'dropout': key}, gumbel_rng=key)
+                                rngs={'dropout': key, 'aug': key},
+                                gumbel_rng=key)
         return sum(jax.tree.leaves(losses))
 
     grads = jax.grad(loss_fn)(params)

@@ -28,6 +28,7 @@ import flax.linen as nn
 
 from .resnet import ResNet
 from .fpn import FPN
+from .grid_mask import grid_mask
 from .transformer import BEVEncoderHead
 from .vidar_head import ViDARHead
 from ..data.structures import ViDARBatch
@@ -51,6 +52,8 @@ class ViDAR(nn.Module):
     backbone_depth: int = 101
     backbone_dcn: Tuple[bool, ...] = (False, False, True, True)
     frozen_stages: int = 1
+    # augmentation
+    use_grid_mask: bool = True
     # rollout
     future_pred_frame_num: int = 3
     test_future_frame_num: int = 6
@@ -241,7 +244,16 @@ class ViDAR(nn.Module):
         prediction dict in eval mode."""
         img_hw = batch.images.shape[3:5]
         t = batch.num_image_frames
-        feats = self.extract_feats(batch.images)
+        images = batch.images
+        if train and self.use_grid_mask:
+            # grid-mask only the current frame's cameras: the reference
+            # extracts history features under model.eval() where GridMask is
+            # a no-op (reference bevformer.py:161-173, grid_mask.py:91).
+            bs, _, cams, h, w, c = images.shape
+            cur = grid_mask(self.make_rng('aug'),
+                            images[:, -1].reshape(bs * cams, h, w, c))
+            images = images.at[:, -1].set(cur.reshape(bs, cams, h, w, c))
+        feats = self.extract_feats(images)
 
         num_future = (self.future_pred_frame_num if train
                       else self.test_future_frame_num)

@@ -74,10 +74,96 @@ def _level_sample(value_l: jnp.ndarray, loc: jnp.ndarray, h: int, w: int):
     return out.transpose(0, 2, 1, 3, 4)
 
 
+def _pack_corners(value_l: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Pack the 4 bilinear corners of every pixel into one row.
+
+    value_l: [B, h*w, heads, dim] -> [B, heads, (h+1)*(w+1), 4*dim] where row
+    (y+1, x+1) holds [v(y,x), v(y,x+1), v(y+1,x), v(y+1,x+1)] with a zero ring
+    so out-of-range corners contribute zero. One gather then fetches all four
+    corners of a sample (TPU gathers are row-rate-bound: 4x fewer rows and
+    wider rows are both wins).
+    """
+    b, _, heads, dim = value_l.shape
+    v = value_l.transpose(0, 2, 1, 3).reshape(b * heads, h, w, dim)
+    vp = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))  # zero ring
+    packed = jnp.concatenate([
+        vp[:, :-1, :-1], vp[:, :-1, 1:], vp[:, 1:, :-1], vp[:, 1:, 1:],
+    ], axis=-1)  # [BH, h+1, w+1, 4*dim]
+    return packed.reshape(b, heads, (h + 1) * (w + 1), 4 * dim)
+
+
+def _level_sample_packed(packed: jnp.ndarray, loc: jnp.ndarray,
+                         h: int, w: int):
+    """Packed-corner bilinear sampling.
+
+    packed: [B, heads, (h+1)*(w+1), 4*dim]; loc: [B, Q, heads, P, 2] in [0,1].
+    Returns [B, Q, heads, P, dim] fp32.
+    """
+    b, heads, rows, dim4 = packed.shape
+    dim = dim4 // 4
+    q, p = loc.shape[1], loc.shape[3]
+
+    x = loc[..., 0].astype(jnp.float32) * w - 0.5
+    y = loc[..., 1].astype(jnp.float32) * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = (x - x0).transpose(0, 2, 1, 3)  # [B, heads, Q, P]
+    wy1 = (y - y0).transpose(0, 2, 1, 3)
+    ix0 = x0.astype(jnp.int32).transpose(0, 2, 1, 3)
+    iy0 = y0.astype(jnp.int32).transpose(0, 2, 1, 3)
+
+    # corner base must lie in [-1, h-1] x [-1, w-1] to touch the map
+    valid = ((iy0 >= -1) & (iy0 <= h - 1) & (ix0 >= -1) & (ix0 <= w - 1))
+    iy = jnp.clip(iy0 + 1, 0, h)
+    ix = jnp.clip(ix0 + 1, 0, w)
+    row = iy * (w + 1) + ix  # [B, heads, Q, P]
+
+    # flatten (B, heads) into the row index for a single flat take
+    flat = packed.reshape(b * heads * rows, dim4)
+    bh_off = (jnp.arange(b * heads, dtype=jnp.int32) * rows).reshape(
+        b, heads, 1, 1)
+    gathered = jnp.take(flat, (row + bh_off).reshape(-1), axis=0)
+    gathered = gathered.reshape(b, heads, q, p, 4, dim).astype(jnp.float32)
+
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+    cw = jnp.stack([wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1],
+                   axis=-1)  # [B, heads, Q, P, 4]
+    cw = cw * valid[..., None].astype(jnp.float32)
+    out = jnp.einsum('bhqpcd,bhqpc->bhqpd', gathered, cw)
+    return out.transpose(0, 2, 1, 3, 4)
+
+
+def _msda_block_packed(packed_levels, spatial_shapes, loc, weights):
+    b, qb, heads = loc.shape[:3]
+    dim = packed_levels[0].shape[-1] // 4
+    out = jnp.zeros((b, qb, heads, dim), jnp.float32)
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        sampled = _level_sample_packed(packed_levels[lvl], loc[:, :, :, lvl],
+                                       h, w)
+        w_l = weights[:, :, :, lvl].astype(jnp.float32)
+        out = out + jnp.einsum('bqhpd,bqhp->bqhd', sampled, w_l)
+    return out.reshape(b, qb, heads * dim)
+
+
+def _msda_block(value_levels, spatial_shapes, loc, weights):
+    """One query-block of deformable attention. loc: [B, Qb, H, L, P, 2]."""
+    b, qb, heads, num_levels, p, _ = loc.shape
+    dim = value_levels[0].shape[-1]
+    out = jnp.zeros((b, qb, heads, dim), jnp.float32)
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        sampled = _level_sample(value_levels[lvl], loc[:, :, :, lvl], h, w)
+        w_l = weights[:, :, :, lvl].astype(jnp.float32)
+        out = out + jnp.einsum('bqhpd,bqhp->bqhd', sampled, w_l)
+    return out.reshape(b, qb, heads * dim)
+
+
 def msdeform_attn(value: jnp.ndarray,
                   spatial_shapes: Sequence[Tuple[int, int]],
                   sampling_locations: jnp.ndarray,
-                  attention_weights: jnp.ndarray) -> jnp.ndarray:
+                  attention_weights: jnp.ndarray,
+                  query_chunk: int = 4096,
+                  impl: str = 'packed') -> jnp.ndarray:
     """Multi-scale deformable attention.
 
     Args:
@@ -86,6 +172,11 @@ def msdeform_attn(value: jnp.ndarray,
       spatial_shapes: static python sequence of (h, w) per level.
       sampling_locations: [B, Q, heads, L, P, 2] in [0, 1].
       attention_weights: [B, Q, heads, L, P] (already softmaxed over L*P).
+      query_chunk: queries processed per scan step — bounds the gather
+        temporaries (the gather materialises [B, chunk, H, P, {4}dim]).
+      impl: 'packed' (default; 4 bilinear corners pre-packed into one row —
+        4x fewer gather rows, the TPU gather bound) or 'plain' (4 separate
+        corner gathers, lower memory).
 
     Returns:
       [B, Q, heads * dim] fp32.
@@ -96,12 +187,54 @@ def msdeform_attn(value: jnp.ndarray,
     assert sampling_locations.shape[3] == num_levels
     assert sum(h * w for h, w in spatial_shapes) == v_len
 
-    out = jnp.zeros((b, q, heads, dim), jnp.float32)
+    value_levels = []
     start = 0
-    for lvl, (h, w) in enumerate(spatial_shapes):
-        value_l = jax.lax.slice_in_dim(value, start, start + h * w, axis=1)
-        sampled = _level_sample(value_l, sampling_locations[:, :, :, lvl], h, w)
-        w_l = attention_weights[:, :, :, lvl].astype(jnp.float32)
-        out = out + jnp.einsum('bqhpd,bqhp->bqhd', sampled, w_l)
+    for (h, w) in spatial_shapes:
+        value_levels.append(
+            jax.lax.slice_in_dim(value, start, start + h * w, axis=1))
         start += h * w
-    return out.reshape(b, q, heads * dim)
+
+    if impl == 'packed':
+        packed_levels = [
+            _pack_corners(v_l, h, w)
+            for v_l, (h, w) in zip(value_levels, spatial_shapes)]
+        if q <= query_chunk:
+            return _msda_block_packed(packed_levels, spatial_shapes,
+                                      sampling_locations, attention_weights)
+        return _scan_query_chunks(
+            lambda l_c, w_c: _msda_block_packed(
+                packed_levels, spatial_shapes, l_c, w_c),
+            sampling_locations, attention_weights, heads * dim, query_chunk)
+
+    if q <= query_chunk:
+        return _msda_block(value_levels, spatial_shapes, sampling_locations,
+                           attention_weights)
+
+    return _scan_query_chunks(
+        lambda l_c, w_c: _msda_block(value_levels, spatial_shapes, l_c, w_c),
+        sampling_locations, attention_weights, heads * dim, query_chunk)
+
+
+def _scan_query_chunks(block_fn, sampling_locations, attention_weights,
+                       out_dim: int, query_chunk: int):
+    """Pad Q to a multiple of the chunk and scan block_fn over chunks."""
+    b, q, heads, num_levels = sampling_locations.shape[:4]
+    num_chunks = (q + query_chunk - 1) // query_chunk
+    pad = num_chunks * query_chunk - q
+    loc = jnp.pad(sampling_locations, ((0, 0), (0, pad), (0, 0), (0, 0),
+                                       (0, 0), (0, 0)))
+    wts = jnp.pad(attention_weights, ((0, 0), (0, pad), (0, 0), (0, 0),
+                                      (0, 0)))
+    loc = loc.reshape(b, num_chunks, query_chunk, heads, num_levels, -1, 2)
+    wts = wts.reshape(b, num_chunks, query_chunk, heads, num_levels, -1)
+    loc = jnp.moveaxis(loc, 1, 0)
+    wts = jnp.moveaxis(wts, 1, 0)
+
+    def body(_, xs):
+        loc_c, w_c = xs
+        return None, block_fn(loc_c, w_c)
+
+    _, chunks = jax.lax.scan(body, None, (loc, wts))
+    out = jnp.moveaxis(chunks, 0, 1).reshape(b, num_chunks * query_chunk,
+                                             out_dim)
+    return out[:, :q]
