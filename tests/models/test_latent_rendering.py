@@ -1,0 +1,94 @@
+"""LatentRendering vs a torch oracle that follows the reference math
+(reference latent_rendering.py:79-162) using our module's own weights."""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from vidar_tpu.models.latent_rendering import LatentRendering
+
+
+def torch_latent_render_oracle(embed, occ_w, occ_b, la_w, la_b, lb_w, lb_b,
+                               grid_num, grid_step, pred_height, act, eps=1e-3):
+    bs, bev_h, bev_w, embed_dim = embed.shape
+    embed = torch.from_numpy(embed)
+
+    occ_pred = embed @ torch.from_numpy(occ_w) + torch.from_numpy(occ_b)
+    occ_pred = occ_pred.permute(0, 3, 1, 2).contiguous()
+
+    ys = (torch.arange(bev_h, dtype=torch.float64) + 0.5) / bev_h
+    xs = (torch.arange(bev_w, dtype=torch.float64) + 0.5) / bev_w
+    gy, gx = torch.meshgrid(ys, xs, indexing='ij')
+    grids = torch.stack([gx.reshape(-1), gy.reshape(-1)], -1)[None]
+    grids = grids.repeat(bs, 1, 1).float()
+
+    r = grids - 0.5
+    r_norm = torch.nan_to_num(r / torch.sqrt((r ** 2).sum(-1, keepdim=True)))
+    step = grid_step / (min(bev_h, bev_w) // 2)
+    steps = (torch.arange(grid_num).float() + 0.5) * step
+    prev = 0.5 + r_norm.view(bs, -1, 1, 2) * steps.view(1, 1, -1, 1)
+    path = torch.cat([prev, grids.view(bs, -1, 1, 2)], 2)
+    path = path * 2 - 1
+
+    per_prob = F.grid_sample(occ_pred, path, align_corners=False)
+    per_prob = per_prob.permute(0, 2, 3, 1)
+
+    path_len = torch.sqrt((path ** 2).sum(-1, keepdim=True))
+    valid = (path_len < path_len[..., -1:, :]).float()
+    if act == 'sigmoid':
+        per_prob = torch.sigmoid(per_prob)
+    else:
+        per_prob = 1 - torch.exp(-F.relu(per_prob))
+    prev_prob = torch.cumprod(1 - per_prob * valid, dim=2)
+    occ_path_prob = prev_prob[..., -1, :] * per_prob[..., -1, :]
+    prob_map = occ_path_prob.view(bs, bev_h, bev_w, pred_height)
+
+    way = path[..., :-1, :]
+    lora_a = embed @ torch.from_numpy(la_w) + torch.from_numpy(la_b)
+    lora_a = lora_a.permute(0, 3, 1, 2).contiguous()
+    feat_way = F.grid_sample(lora_a, way, align_corners=False)
+
+    boundary = torch.minimum(1 / torch.abs(r_norm[..., 0:1]),
+                             1 / torch.abs(r_norm[..., 1:2]))
+    way_valid = (path_len[..., :-1, :] < boundary.view(bs, -1, 1, 1))
+    prob_way = F.grid_sample(prob_map.permute(0, 3, 1, 2).contiguous(), way,
+                             align_corners=False)
+    n = bev_h * bev_w
+    prob_way = prob_way * way_valid.view(bs, 1, n, grid_num)
+    prob_way = prob_way / (prob_way.sum(-1, keepdim=True) + eps)
+    ray = (feat_way.view(bs, pred_height, -1, n, grid_num) *
+           prob_way.view(bs, pred_height, 1, n, grid_num))
+    ray = ray.view(bs, -1, n, grid_num).sum(-1).permute(0, 2, 1)
+    up = ray @ torch.from_numpy(lb_w) + torch.from_numpy(lb_b)
+    up = up.view(bs, bev_h, bev_w, pred_height, -1)
+    out = up * occ_path_prob.view(bs, bev_h, bev_w, pred_height, 1)
+    return out.view(bs, bev_h, bev_w, embed_dim).numpy()
+
+
+def test_latent_rendering_matches_torch_oracle():
+    rng = np.random.default_rng(0)
+    bs, bev_h, bev_w, dim = 1, 8, 8, 32
+    pred_height, grid_num, reduction = 4, 6, 8
+    embed = rng.standard_normal((bs, bev_h, bev_w, dim)).astype(np.float32)
+
+    lr = LatentRendering(embed_dims=dim, pred_height=pred_height,
+                         grid_num=grid_num, grid_step=0.5,
+                         reduction=reduction, act='sigmoid', num_pred_fcs=0)
+    params = lr.init(jax.random.PRNGKey(0), jnp.asarray(embed))
+    got = np.asarray(lr.apply(params, jnp.asarray(embed)))
+
+    p = params['params']
+    want = torch_latent_render_oracle(
+        embed,
+        np.asarray(p['occ_head']['linear']['kernel']),
+        np.asarray(p['occ_head']['linear']['bias']),
+        np.asarray(p['lora_a']['linear']['kernel']),
+        np.asarray(p['lora_a']['linear']['bias']),
+        np.asarray(p['lora_b']['linear']['kernel']),
+        np.asarray(p['lora_b']['linear']['bias']),
+        grid_num, 0.5, pred_height, 'sigmoid')
+
+    np.testing.assert_allclose(got, want, atol=3e-5)

@@ -221,6 +221,10 @@ class SpatialCrossAttention(nn.Module):
     deform_num_heads: int = 8
     deform_num_levels: int = 4
     deform_num_points: int = 8
+    # fraction of BEV queries kept per camera (static capacity). Each camera
+    # sees only a wedge of the BEV plane (<~35% of queries on nuScenes), so a
+    # 0.5 capacity is lossless in practice; <=0 disables compaction.
+    capacity_ratio: float = 0.5
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -252,26 +256,62 @@ class SpatialCrossAttention(nn.Module):
         value_p = proj.value_proj(value)  # [bs, cams, V, C]
         value_p = value_p.reshape(bs * num_cams, value.shape[2], h, head_dim)
 
-        # per-camera sampling locations around each camera's Z-anchor refs.
-        # ref: [cams, bs, Q, D, 2] -> [bs*cams, Q, D, 2]
-        ref = reference_points_cam.transpose(1, 0, 2, 3, 4).reshape(
-            bs * num_cams, num_query, -1, 2)
-        off_t = jnp.broadcast_to(offsets[:, None],
-                                 (bs, num_cams) + offsets.shape[1:]).reshape(
-            (bs * num_cams,) + offsets.shape[1:])
-        loc = _z_anchor_locations(off_t, ref, spatial_shapes)
-        w_t = jnp.broadcast_to(weights[:, None],
-                               (bs, num_cams) + weights.shape[1:]).reshape(
-            (bs * num_cams,) + weights.shape[1:])
-
-        cam_out = msdeform_attn(value_p, list(spatial_shapes), loc, w_t)
-        cam_out = cam_out.reshape(bs, num_cams, num_query, self.embed_dims)
-
         visible = jnp.any(bev_mask, axis=-1)  # [cams, bs, Q]
         visible = visible.transpose(1, 0, 2)  # [bs, cams, Q]
-        cam_out = cam_out * visible[..., None].astype(cam_out.dtype)
-        slots = cam_out.sum(axis=1)  # [bs, Q, C]
+        ref = reference_points_cam.transpose(1, 0, 2, 3, 4)  # [bs,cams,Q,D,2]
 
+        cap = (int(num_query * self.capacity_ratio)
+               if 0 < self.capacity_ratio < 1 else num_query)
+        if cap < num_query:
+            # compact to the visible queries per camera (static capacity):
+            # stable argsort puts visible-query indices first in index order
+            # — the same per-camera rebatching the reference performs
+            # dynamically (spatial_cross_attention.py:135-166).
+            order = jnp.argsort(~visible, axis=-1, stable=True)
+            sel = order[:, :, :cap]  # [bs, cams, cap]
+            sel_valid = jnp.take_along_axis(visible, sel, axis=2)
+
+            off_c = jnp.take_along_axis(
+                offsets[:, None], sel[..., None, None, None, None], axis=2)
+            w_c = jnp.take_along_axis(
+                weights[:, None], sel[..., None, None, None], axis=2)
+            ref_c = jnp.take_along_axis(ref, sel[..., None, None], axis=2)
+
+            off_c = off_c.reshape((bs * num_cams, cap) + offsets.shape[2:])
+            w_c = w_c.reshape((bs * num_cams, cap) + weights.shape[2:])
+            ref_c = ref_c.reshape(bs * num_cams, cap, -1, 2)
+            loc = _z_anchor_locations(off_c, ref_c, spatial_shapes)
+            cam_out = msdeform_attn(value_p, list(spatial_shapes), loc, w_c)
+            cam_out = cam_out.reshape(bs, num_cams, cap, self.embed_dims)
+            cam_out = cam_out * sel_valid[..., None].astype(cam_out.dtype)
+
+            # scatter back: each (b, cam, q) slot is selected at most once.
+            flat_idx = (sel +
+                        (jnp.arange(bs, dtype=sel.dtype) * num_cams)[
+                            :, None, None] * num_query +
+                        (jnp.arange(num_cams, dtype=sel.dtype) *
+                         num_query)[None, :, None])
+            scat = jnp.zeros((bs * num_cams * num_query, self.embed_dims),
+                             cam_out.dtype)
+            scat = scat.at[flat_idx.reshape(-1)].add(
+                cam_out.reshape(-1, self.embed_dims), mode='drop',
+                unique_indices=True)
+            cam_out = scat.reshape(bs, num_cams, num_query, self.embed_dims)
+        else:
+            ref_f = ref.reshape(bs * num_cams, num_query, -1, 2)
+            off_t = jnp.broadcast_to(
+                offsets[:, None], (bs, num_cams) + offsets.shape[1:]).reshape(
+                (bs * num_cams,) + offsets.shape[1:])
+            loc = _z_anchor_locations(off_t, ref_f, spatial_shapes)
+            w_t = jnp.broadcast_to(
+                weights[:, None], (bs, num_cams) + weights.shape[1:]).reshape(
+                (bs * num_cams,) + weights.shape[1:])
+            cam_out = msdeform_attn(value_p, list(spatial_shapes), loc, w_t)
+            cam_out = cam_out.reshape(bs, num_cams, num_query,
+                                      self.embed_dims)
+            cam_out = cam_out * visible[..., None].astype(cam_out.dtype)
+
+        slots = cam_out.sum(axis=1)  # [bs, Q, C]
         count = jnp.maximum(visible.astype(jnp.float32).sum(axis=1), 1.0)
         slots = slots / count[..., None].astype(slots.dtype)
 

@@ -48,6 +48,12 @@ def coords_to_voxel_grids(xyz: Array, bev_h: int, bev_w: int,
 def sample_sigma_frames(sigma: Array, grids: Array, frame_idx: Array) -> Array:
     """Frame-indexed trilinear sampling of per-frame sigma volumes.
 
+    TPU formulation: trilinear = bilinear over (x, y) x linear over z. The
+    whole z-column (all Z bins) of all 4 xy-corners is packed into ONE row
+    (4*Z values), so each waypoint costs a single row gather (TPU gathers are
+    row-rate bound); the z interpolation is then a dense one-hot einsum on
+    the VPU.
+
     Args:
       sigma: [bs, V, Z, H, W] occupancy logits per rollout frame.
       grids: [bs, P, G, 3] continuous voxel coords (x->W, y->H, z->Z) in
@@ -59,45 +65,41 @@ def sample_sigma_frames(sigma: Array, grids: Array, frame_idx: Array) -> Array:
       [bs, P, G] fp32 sampled values (zero outside the volume, matching
       grid_sample's zero padding).
     """
+    from ..ops.gather import pack_corners_2d, bilinear_weights, take_rows
+
     bs, v, zdim, h, w = sigma.shape
     p, g = grids.shape[1], grids.shape[2]
-    flat = sigma.reshape(bs, v * zdim * h * w).astype(jnp.float32)
 
-    # pixel coords under align_corners=False: pix = g - 0.5
+    # pack xy-corners with the z column as channels: [bs*V, (h+1)(w+1), 4*Z]
+    maps = sigma.transpose(0, 1, 3, 4, 2).reshape(bs * v, h, w, zdim)
+    packed = pack_corners_2d(maps)
+    rows_per = packed.shape[1]
+    flat = packed.reshape(bs * v * rows_per, 4 * zdim)
+
     px = grids[..., 0].astype(jnp.float32) - 0.5
     py = grids[..., 1].astype(jnp.float32) - 0.5
     pz = grids[..., 2].astype(jnp.float32) - 0.5
 
-    x0 = jnp.floor(px)
-    y0 = jnp.floor(py)
-    z0 = jnp.floor(pz)
-    wx1 = px - x0
-    wy1 = py - y0
-    wz1 = pz - z0
-    ix0 = x0.astype(jnp.int32)
-    iy0 = y0.astype(jnp.int32)
-    iz0 = z0.astype(jnp.int32)
+    row, cw = bilinear_weights(px, py, h, w)  # [bs,P,G], [bs,P,G,4]
 
     fi = frame_idx[:, :, None]  # [bs, P, 1]
     frame_ok = (fi >= 0) & (fi < v)
-    base = jnp.clip(fi, 0, v - 1) * (zdim * h * w)
+    base = (jnp.arange(bs, dtype=jnp.int32)[:, None, None] * v +
+            jnp.clip(fi, 0, v - 1)) * rows_per
+    cw = cw * frame_ok[..., None].astype(jnp.float32)
 
-    out = jnp.zeros((bs, p, g), jnp.float32)
-    for dz, wz in ((0, 1.0 - wz1), (1, wz1)):
-        for dy, wy in ((0, 1.0 - wy1), (1, wy1)):
-            for dx, wx in ((0, 1.0 - wx1), (1, wx1)):
-                iz = iz0 + dz
-                iy = iy0 + dy
-                ix = ix0 + dx
-                ok = (frame_ok & (iz >= 0) & (iz < zdim) & (iy >= 0) &
-                      (iy < h) & (ix >= 0) & (ix < w))
-                idx = base + (jnp.clip(iz, 0, zdim - 1) * h +
-                              jnp.clip(iy, 0, h - 1)) * w + \
-                    jnp.clip(ix, 0, w - 1)
-                val = jnp.take_along_axis(flat, idx.reshape(bs, p * g),
-                                          axis=1).reshape(bs, p, g)
-                out = out + val * (wz * wy * wx) * ok.astype(jnp.float32)
-    return out
+    gathered = take_rows(flat, row + base)  # [bs, P, G, 4*Z]
+    gathered = gathered.reshape(bs, p, g, 4, zdim).astype(jnp.float32)
+    xy = jnp.einsum('bpgcz,bpgc->bpgz', gathered, cw.astype(jnp.float32))
+
+    # linear z interpolation with zero padding outside [0, Z)
+    z0 = jnp.floor(pz)
+    wz1 = pz - z0
+    iz0 = z0.astype(jnp.int32)
+    zi = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, zdim), 3)
+    w_z = (jnp.where(zi == iz0[..., None], 1.0 - wz1[..., None], 0.0) +
+           jnp.where(zi == iz0[..., None] + 1, wz1[..., None], 0.0))
+    return jnp.einsum('bpgz,bpgz->bpg', xy, w_z)
 
 
 class RayFeatures(NamedTuple):

@@ -49,12 +49,15 @@ def _gather_hw(feat: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray,
     return out * valid[..., None].astype(feat.dtype)
 
 
-def grid_sample_2d(feat: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+def grid_sample_2d(feat: jnp.ndarray, grid: jnp.ndarray,
+                   impl: str = 'packed') -> jnp.ndarray:
     """2-D bilinear sampling.
 
     Args:
       feat: [B, H, W, C] feature map.
       grid: [B, N, 2] sampling locations in [-1, 1], (x, y) order.
+      impl: 'packed' (single-row gather per sample, see ops.gather) or
+        'plain' (4 corner gathers, lower memory).
 
     Returns:
       [B, N, C] sampled features, fp32.
@@ -62,6 +65,12 @@ def grid_sample_2d(feat: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     b, h, w, c = feat.shape
     x = _unnormalize(grid[..., 0].astype(jnp.float32), w)
     y = _unnormalize(grid[..., 1].astype(jnp.float32), h)
+
+    if impl == 'packed':
+        from .gather import pack_corners_2d, bilinear_sample_packed
+        packed = pack_corners_2d(feat)
+        return bilinear_sample_packed(packed, h, w, x, y)
+
     ix0, ix1, wx0, wx1 = _corner_weight_1d(x)
     iy0, iy1, wy0, wy1 = _corner_weight_1d(y)
 
