@@ -14,7 +14,8 @@ if '--xla_force_host_platform_device_count' not in flags:
 
 # Persistent compilation cache: model-level tests compile sizeable graphs and
 # the CI box is a single core — cache across runs.
-os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/.cache/jax_cc')
-os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
-os.environ.setdefault(
-    'JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES', '0')
+import jax
+
+jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_cc')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)

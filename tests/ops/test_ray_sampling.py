@@ -23,7 +23,7 @@ def test_sample_sigma_frames_matches_torch():
 
     # oracle: per (b, p) pick the volume of its frame, torch grid_sample
     want = np.zeros((bs, p, g), np.float32)
-    norm = grids / np.array([w, h, z]) * 2.0 - 1.0
+    norm = (grids / np.array([w, h, z]) * 2.0 - 1.0).astype(np.float32)
     for b in range(bs):
         for pi in range(p):
             f = frame_idx[b, pi]

@@ -116,41 +116,227 @@ def import_torch_backbone(sd: Mapping[str, np.ndarray],
     return p
 
 
+def _map_linear(sd, src, dst: Dict[str, Any], key: str = 'linear'):
+    if f'{src}.weight' not in sd:
+        return
+    dst[key] = {'kernel': _linear_w(sd, f'{src}.weight'),
+                'bias': np.asarray(sd[f'{src}.bias'], np.float32)}
+
+
+def _map_dense(sd, src, dst: Dict[str, Any], name: str):
+    if f'{src}.weight' in sd:
+        dst[name] = {'kernel': _linear_w(sd, f'{src}.weight'),
+                     'bias': np.asarray(sd[f'{src}.bias'], np.float32)}
+
+
+def _map_ln(sd, src, dst: Dict[str, Any], name: str):
+    if f'{src}.weight' in sd:
+        dst[name] = {'scale': np.asarray(sd[f'{src}.weight'], np.float32),
+                     'bias': np.asarray(sd[f'{src}.bias'], np.float32)}
+
+
+def _map_can_bus_mlp(sd, src) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    _map_linear(sd, f'{src}.0', out.setdefault('fc0', {}))
+    _map_linear(sd, f'{src}.2', out.setdefault('fc1', {}))
+    _map_ln(sd, f'{src}.norm', out, 'norm')
+    return out
+
+
+def _map_ffn(sd, src) -> Dict[str, Any]:
+    # mmcv FFN: layers.0.0 = fc1, layers.1 = fc2
+    out: Dict[str, Any] = {}
+    _map_linear(sd, f'{src}.layers.0.0', out.setdefault('fc1', {}))
+    _map_linear(sd, f'{src}.layers.1', out.setdefault('fc2', {}))
+    return out
+
+
+def _map_deform_proj(sd, src) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    _map_dense(sd, f'{src}.sampling_offsets', out, 'sampling_offsets')
+    _map_dense(sd, f'{src}.attention_weights', out, 'attention_weights')
+    _map_dense(sd, f'{src}.value_proj', out, 'value_proj')
+    return out
+
+
+def _map_latent_render(sd, src) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    # num_pred_fcs=0 -> unsup_raymarching_head.0 is the occ Linear
+    _map_linear(sd, f'{src}.unsup_raymarching_head.0',
+                out.setdefault('occ_head', {}))
+    _map_linear(sd, f'{src}.lora_a', out.setdefault('lora_a', {}))
+    _map_linear(sd, f'{src}.lora_b', out.setdefault('lora_b', {}))
+    return out
+
+
+def _map_encoder_layer(sd, src, with_latent: bool) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    tsa = {'proj': _map_deform_proj(sd, f'{src}.attentions.0')}
+    _map_dense(sd, f'{src}.attentions.0.output_proj', tsa, 'output_proj')
+    out['attentions_0'] = tsa
+    sca = {'deformable_attention': _map_deform_proj(
+        sd, f'{src}.attentions.1.deformable_attention')}
+    _map_dense(sd, f'{src}.attentions.1.output_proj', sca, 'output_proj')
+    out['attentions_1'] = sca
+    for i in range(3):
+        _map_ln(sd, f'{src}.norms.{i}', out, f'norms_{i}')
+    out['ffns_0'] = _map_ffn(sd, f'{src}.ffns.0')
+    if with_latent and f'{src}.latent_render.lora_a.weight' in sd:
+        out['latent_render'] = _map_latent_render(sd, f'{src}.latent_render')
+    return out
+
+
+def _map_decoder_layer(sd, src, with_latent: bool) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for ai in (0, 1):
+        attn = {'proj': _map_deform_proj(sd, f'{src}.attentions.{ai}')}
+        _map_dense(sd, f'{src}.attentions.{ai}.output_proj', attn,
+                   'output_proj')
+        out[f'attentions_{ai}'] = attn
+    for i in range(3):
+        _map_ln(sd, f'{src}.norms.{i}', out, f'norms_{i}')
+    out['ffns_0'] = _map_ffn(sd, f'{src}.ffns.0')
+    if with_latent and f'{src}.latent_render.lora_a.weight' in sd:
+        out['latent_render'] = _map_latent_render(sd, f'{src}.latent_render')
+    return out
+
+
+def _map_pos_encoding(sd, src) -> Dict[str, Any]:
+    if f'{src}.row_embed.weight' not in sd:
+        return {}
+    return {'row_embed': np.asarray(sd[f'{src}.row_embed.weight'],
+                                    np.float32),
+            'col_embed': np.asarray(sd[f'{src}.col_embed.weight'],
+                                    np.float32)}
+
+
+def _map_fpn(sd, prefix='img_neck.') -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    i = 0
+    while f'{prefix}lateral_convs.{i}.conv.weight' in sd:
+        out[f'lateral_convs_{i}'] = {
+            'kernel': _conv_w(sd, f'{prefix}lateral_convs.{i}.conv.weight'),
+            'bias': np.asarray(sd[f'{prefix}lateral_convs.{i}.conv.bias'],
+                               np.float32)}
+        i += 1
+    i = 0
+    while f'{prefix}fpn_convs.{i}.conv.weight' in sd:
+        out[f'fpn_convs_{i}'] = {
+            'kernel': _conv_w(sd, f'{prefix}fpn_convs.{i}.conv.weight'),
+            'bias': np.asarray(sd[f'{prefix}fpn_convs.{i}.conv.bias'],
+                               np.float32)}
+        i += 1
+    return out
+
+
+def map_vidar_state_dict(sd: Mapping[str, np.ndarray], *,
+                         depth: int = 101,
+                         stage_with_dcn=(False, False, True, True),
+                         encoder_layers: int = 6,
+                         decoder_layers: int = 3) -> Dict[str, Any]:
+    """Full reference-ViDAR state_dict -> our param tree (nested dicts)."""
+    out: Dict[str, Any] = {}
+    if any(k.startswith('img_backbone.') for k in sd):
+        out['img_backbone'] = import_torch_backbone(
+            sd, depth=depth, stage_with_dcn=stage_with_dcn)
+    if any(k.startswith('img_neck.') for k in sd):
+        out['img_neck'] = _map_fpn(sd)
+
+    # --- BEV head / perception transformer ---
+    if 'pts_bbox_head.bev_embedding.weight' in sd:
+        head: Dict[str, Any] = {
+            'bev_embedding': np.asarray(
+                sd['pts_bbox_head.bev_embedding.weight'], np.float32),
+            'positional_encoding': _map_pos_encoding(
+                sd, 'pts_bbox_head.positional_encoding'),
+        }
+        tr: Dict[str, Any] = {}
+        if 'pts_bbox_head.transformer.level_embeds' in sd:
+            tr['level_embeds'] = np.asarray(
+                sd['pts_bbox_head.transformer.level_embeds'], np.float32)
+            tr['cams_embeds'] = np.asarray(
+                sd['pts_bbox_head.transformer.cams_embeds'], np.float32)
+        tr['can_bus_mlp'] = _map_can_bus_mlp(
+            sd, 'pts_bbox_head.transformer.can_bus_mlp')
+        enc: Dict[str, Any] = {}
+        for lid in range(encoder_layers):
+            enc[f'layers_{lid}'] = _map_encoder_layer(
+                sd, f'pts_bbox_head.transformer.encoder.layers.{lid}',
+                with_latent=True)
+        tr['encoder'] = enc
+        head['transformer'] = tr
+        out['pts_bbox_head'] = head
+
+    # --- future prediction head ---
+    if 'future_pred_head.bev_embedding.weight' in sd:
+        fh: Dict[str, Any] = {
+            'bev_embedding': np.asarray(
+                sd['future_pred_head.bev_embedding.weight'], np.float32),
+            'prev_frame_embedding': np.asarray(
+                sd['future_pred_head.prev_frame_embedding'], np.float32),
+            'positional_encoding': _map_pos_encoding(
+                sd, 'future_pred_head.positional_encoding'),
+            'can_bus_mlp': _map_can_bus_mlp(
+                sd, 'future_pred_head.can_bus_mlp'),
+        }
+        dec: Dict[str, Any] = {}
+        for lid in range(decoder_layers):
+            dec[f'layers_{lid}'] = _map_decoder_layer(
+                sd, f'future_pred_head.transformer.decoder.layers.{lid}',
+                with_latent=True)
+        fh['transformer'] = dec
+        for lvl in range(decoder_layers):
+            _map_linear(sd, f'future_pred_head.bev_pred_head.{lvl}.0',
+                        fh.setdefault(f'bev_pred_head_{lvl}_out', {}))
+        out['future_pred_head'] = fh
+    return out
+
+
 def import_torch_checkpoint(pth_path: str, params, *,
                             depth: int = 101,
-                            stage_with_dcn=(False, False, True, True)):
+                            stage_with_dcn=(False, False, True, True),
+                            strict_report: bool = True):
     """Load a reference ``.pth`` and graft matching weights into ``params``.
 
-    Round-1 scope: the image backbone (the FCOS3D-pretrained init the released
-    configs start from). Full-model key mapping (encoder/head) lands with the
-    real-data training path.
+    Handles both the FCOS3D backbone init (``r101_dcn_fcos3d_pretrain.pth``)
+    and full released ViDAR checkpoints (backbone + encoder + future head).
+    Unmatched target leaves keep their fresh init; a summary is printed when
+    ``strict_report``.
     """
     import torch
+    import flax
     ckpt = torch.load(pth_path, map_location='cpu', weights_only=False)
     sd = ckpt.get('state_dict', ckpt)
     sd = {k: v.numpy() if hasattr(v, 'numpy') else v for k, v in sd.items()}
+    if not any(k.startswith('img_backbone.') for k in sd) and any(
+            k.startswith('backbone.') for k in sd):
+        sd = {('img_backbone.' + k[len('backbone.'):]
+               if k.startswith('backbone.') else k): v for k, v in sd.items()}
 
-    prefix = ('img_backbone.' if any(k.startswith('img_backbone.')
-                                     for k in sd) else 'backbone.')
-    backbone = import_torch_backbone(sd, depth=depth,
-                                     stage_with_dcn=stage_with_dcn,
-                                     prefix=prefix)
+    mapped = map_vidar_state_dict(sd, depth=depth,
+                                  stage_with_dcn=stage_with_dcn)
 
-    params = jax.tree.map(lambda x: x, params)  # shallow copy
-    tgt = params['params']['img_backbone']
+    flat_params = flax.core.unfreeze(jax.tree.map(lambda x: x, params))
+    stats = {'matched': 0, 'shape_mismatch': 0}
 
-    def graft(dst, src):
+    def graft(dst, src, path=''):
         for k, v in src.items():
             if isinstance(v, dict):
-                if k in dst:
-                    graft(dst[k], v)
+                if k in dst and isinstance(dst[k], dict):
+                    graft(dst[k], v, f'{path}/{k}')
             else:
                 if k in dst:
-                    assert dst[k].shape == v.shape, (
-                        f'{k}: {dst[k].shape} vs {v.shape}')
-                    dst[k] = jnp.asarray(v)
+                    if dst[k].shape == v.shape:
+                        dst[k] = jnp.asarray(v)
+                        stats['matched'] += 1
+                    else:
+                        stats['shape_mismatch'] += 1
+                        if strict_report:
+                            print(f'shape mismatch at {path}/{k}: '
+                                  f'{dst[k].shape} vs {v.shape}')
 
-    import flax
-    flat_params = flax.core.unfreeze(params)
-    graft(flat_params['params']['img_backbone'], backbone)
+    graft(flat_params['params'], mapped)
+    if strict_report:
+        print(f"torch import: {stats['matched']} tensors grafted, "
+              f"{stats['shape_mismatch']} shape mismatches")
     return flat_params

@@ -92,6 +92,10 @@ class NuScenesViDARDataset:
     def __len__(self):
         return len(self.usable_index)
 
+    def _load_frame_points(self, info) -> np.ndarray:
+        """Keyframe + sweeps point loading; overridden by the nuPlan variant."""
+        return pl.load_multi_sweeps(info, ego_mask=self.ego_mask)
+
     # ------------------------------------------------------------- framemeta
 
     def _frame_meta(self, index: int) -> Dict:
@@ -275,7 +279,7 @@ class NuScenesViDARDataset:
         tindex_list = []
         for k, j in enumerate(window_idx):
             m = metas[j]
-            pts = pl.load_multi_sweeps(m['info'], ego_mask=self.ego_mask)
+            pts = self._load_frame_points(m['info'])
             if not self.test_mode:
                 pts = pl.voxel_downsample_points(pts, self.pc_range)
             pts_list.append(pts[:, :3])

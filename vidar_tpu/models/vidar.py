@@ -146,8 +146,10 @@ class ViDAR(nn.Module):
             return bev, None
 
         bs = batch.images.shape[0]
+        # BEV features are kept fp32 (the encoder's final LayerNorm outputs
+        # fp32 even under a bf16 compute dtype) — the carry must match.
         init = jnp.zeros((bs, self.bev_h * self.bev_w, self.embed_dims),
-                         hist_feats[0].dtype)
+                         jnp.float32)
         xs = (
             hist_feats[0], hist_feats[1], hist_feats[2], hist_feats[3],
             batch.can_bus.transpose(1, 0, 2)[:num_history],
