@@ -25,6 +25,8 @@ SMOKE = os.environ.get('BENCH_SMOKE', '0') == '1'
 
 def main():
     import jax
+    jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_cc')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     from vidar_tpu.models import ViDAR
     from vidar_tpu.configs import vidar_base, vidar_tiny
     from vidar_tpu.data import make_synthetic_batch
@@ -38,26 +40,33 @@ def main():
         bs, q, f, cams, ih, iw, pts = 1, 4, 6, 6, 928, 1600, 32768
         cfg['test_future_frame_num'] = 6
 
+    from vidar_tpu.evals.forecast_runner import ForecastRunner
+
     model = ViDAR(**cfg, dtype=jax.numpy.bfloat16)
     rng = np.random.default_rng(0)
     batch = make_synthetic_batch(rng, bs=bs, queue_length=q, future_length=f,
                                  num_cams=cams, img_h=ih, img_w=iw,
                                  max_points=pts)
     key = jax.random.PRNGKey(0)
-    params = model.init({'params': key, 'dropout': key}, batch, train=False)
+    # init on a tiny batch: parameter shapes depend only on the config, not
+    # on image size / point count, and the full-scale init trace is slow.
+    init_batch = make_synthetic_batch(
+        rng, bs=bs, queue_length=q, future_length=f, num_cams=cams,
+        img_h=96, img_w=160, max_points=256)
+    params = model.init({'params': key, 'dropout': key}, init_batch,
+                        train=False)
 
-    @jax.jit
-    def forecast(params, batch):
-        return model.apply(params, batch, train=False)
+    runner = ForecastRunner(model, params, (ih, iw),
+                            num_future=cfg['test_future_frame_num'])
 
     # compile + warmup
-    out = forecast(params, batch)
+    out = runner(batch)
     jax.block_until_ready(out)
 
     iters = 3 if SMOKE else 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = forecast(params, batch)
+        out = runner(batch)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
 

@@ -111,13 +111,19 @@ class BEVFormerLayer(nn.Module):
     tsa_num_points: int = 4
     with_latent_render: bool = False
     latent_render_cfg: Optional[dict] = None
+    bev_h: int = 200
+    bev_w: int = 200
+    spatial_shapes: Tuple[Tuple[int, int], ...] = ()
+    deterministic: bool = True
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, query, value_pair, ref_2d_pair, cam_value, ref_cam,
-                 bev_mask, spatial_shapes, bev_pos, bev_h: int, bev_w: int,
-                 *, deterministic: bool = True):
+                 bev_mask, bev_pos):
         bs = query.shape[0]
+        bev_h, bev_w = self.bev_h, self.bev_w
+        spatial_shapes = self.spatial_shapes
+        deterministic = self.deterministic
         query = TemporalSelfAttention(
             embed_dims=self.embed_dims, num_points=self.tsa_num_points,
             dtype=self.dtype, name='attentions_0')(
@@ -159,6 +165,7 @@ class BEVFormerEncoder(nn.Module):
     sca_num_points: int = 8
     latent_render_lids: Tuple[int, ...] = (2,)
     latent_render_cfg: Optional[dict] = None
+    remat: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -201,11 +208,14 @@ class BEVFormerEncoder(nn.Module):
 
         query = bev_query
         intermediate = []
+        layer_cls = BEVFormerLayer
+        if self.remat:
+            layer_cls = nn.remat(BEVFormerLayer, static_argnums=())
         for lid in range(self.num_layers):
             layer_value_pair = jnp.where(
                 use_queue, value_pair,
                 jnp.stack([query, query], axis=1))
-            query = BEVFormerLayer(
+            query = layer_cls(
                 embed_dims=self.embed_dims,
                 feedforward_channels=self.feedforward_channels,
                 ffn_dropout=self.ffn_dropout,
@@ -214,10 +224,12 @@ class BEVFormerEncoder(nn.Module):
                 sca_num_points=self.sca_num_points,
                 with_latent_render=(lid in self.latent_render_lids),
                 latent_render_cfg=self.latent_render_cfg,
+                bev_h=self.bev_h, bev_w=self.bev_w,
+                spatial_shapes=tuple(spatial_shapes),
+                deterministic=deterministic,
                 dtype=self.dtype, name=f'layers_{lid}')(
                     query, layer_value_pair, ref_pair, cam_value, ref_cam,
-                    bev_mask, spatial_shapes, bev_pos, self.bev_h, self.bev_w,
-                    deterministic=deterministic)
+                    bev_mask, bev_pos)
             if lid in self.latent_render_lids:
                 # refresh the current slot of the TSA queue after latent
                 # rendering (reference encoder.py:241-245).

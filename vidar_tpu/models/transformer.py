@@ -42,6 +42,7 @@ class PerceptionTransformer(nn.Module):
     encoder_num_layers: int = 6
     latent_render_lids: Tuple[int, ...] = (2,)
     latent_render_cfg: Optional[dict] = None
+    remat: bool = False
     ffn_dropout: float = 0.1
     rotate_mode: str = 'nearest'  # torchvision parity; 'bilinear' available
     dtype: jnp.dtype | None = None
@@ -66,6 +67,7 @@ class PerceptionTransformer(nn.Module):
             sca_num_levels=self.num_feature_levels,
             latent_render_lids=self.latent_render_lids,
             latent_render_cfg=self.latent_render_cfg,
+            remat=self.remat,
             dtype=self.dtype, name='encoder')
 
     def get_bev_features(self, mlvl_feats, bev_queries, bev_pos, can_bus,
@@ -146,6 +148,7 @@ class BEVEncoderHead(nn.Module):
     latent_render_cfg: Optional[dict] = None
     encoder_num_layers: int = 6
     rotate_mode: str = 'nearest'
+    remat: bool = False
     dtype: jnp.dtype | None = None
 
     def setup(self):
@@ -166,6 +169,7 @@ class BEVEncoderHead(nn.Module):
             latent_render_cfg=self.latent_render_cfg,
             encoder_num_layers=self.encoder_num_layers,
             rotate_mode=self.rotate_mode,
+            remat=self.remat,
             dtype=self.dtype, name='transformer')
 
     def __call__(self, mlvl_feats, can_bus, shift, rotate_angle, lidar2img,

@@ -76,6 +76,7 @@ class ViDAR(nn.Module):
     latent_render_lids: Tuple[int, ...] = (2,)
     latent_render_cfg: Optional[dict] = None
     rotate_mode: str = 'nearest'
+    remat: bool = False
     dtype: jnp.dtype | None = None
 
     def setup(self):
@@ -93,6 +94,7 @@ class ViDAR(nn.Module):
             latent_render_cfg=self.latent_render_cfg,
             encoder_num_layers=self.encoder_num_layers,
             rotate_mode=self.rotate_mode,
+            remat=self.remat,
             dtype=self.dtype, name='pts_bbox_head')
         self.future_pred_head = ViDARHead(
             embed_dims=self.embed_dims, bev_h=self.bev_h, bev_w=self.bev_w,
@@ -237,6 +239,46 @@ class ViDAR(nn.Module):
                        in_axes=0, out_axes=0)
         _, preds = scan(self, carry, xs)
         return preds
+
+    # ---------------------------------------------------- streaming methods
+    # Phase-wise entry points for serving / benchmarking: each compiles to a
+    # small graph reused across frames (vs one monolithic jit of the whole
+    # forecast). Drive them with model.apply(..., method=...).
+
+    def backbone_forward(self, images_flat):
+        """[N, H, W, 3] -> list of [N, h, w, C] FPN maps."""
+        return self.img_neck(self.img_backbone(images_flat))
+
+    def encode_single(self, feats, can_bus, shift, rotate_angle, lidar2img,
+                      prev_bev, prev_bev_exists, img_hw):
+        """One frame's BEV encode. feats: list of [bs, cams, h, w, C]."""
+        return self.pts_bbox_head(feats, can_bus, shift, rotate_angle,
+                                  lidar2img, img_hw, prev_bev,
+                                  prev_bev_exists, deterministic=True)
+
+    def rollout_single(self, prev_feats, ref_to_history, future2ref_t,
+                       ref2future_t, future_can_bus_sel):
+        """One autoregressive step.
+
+        prev_feats [bs, 1, N, C], ref_to_history [bs, 1, 4, 4].
+        Returns (pred [layers, bs, N, C], new_ref_to_history).
+        """
+        tgt, aligned = self._align_future_coords(future2ref_t,
+                                                 ref_to_history)
+        pred = self.future_pred_head.predict_next(
+            prev_feats, future_can_bus_sel, tgt, aligned,
+            deterministic=True)
+        return pred, ref2future_t[:, None]
+
+    def decode_from_features(self, next_bev_feats, gt_points, gt_tindex,
+                             cur2ref, ref2cur, num_future: int):
+        """[frames, layers, bs, N, C] -> eval decode dict."""
+        sigma = self.future_pred_head.forward_head(next_bev_feats)
+        cur = self.pred_history_frame_num
+        sigma_cur = sigma[:, -1, cur]
+        return self.future_pred_head.decode_pointcloud(
+            sigma_cur, gt_points, gt_tindex, cur2ref, ref2cur,
+            num_rollout=num_future + 1)
 
     # -------------------------------------------------------------- forward
 
