@@ -48,13 +48,19 @@ def main():
                                  num_cams=cams, img_h=ih, img_w=iw,
                                  max_points=pts)
     key = jax.random.PRNGKey(0)
-    # init on a tiny batch: parameter shapes depend only on the config, not
-    # on image size / point count, and the full-scale init trace is slow.
+    # Benchmark params: shapes from eval_shape (zero compile), values random —
+    # throughput does not depend on the init distribution.
     init_batch = make_synthetic_batch(
         rng, bs=bs, queue_length=q, future_length=f, num_cams=cams,
         img_h=96, img_w=160, max_points=256)
-    params = model.init({'params': key, 'dropout': key}, init_batch,
-                        train=False)
+    shapes = jax.eval_shape(
+        lambda: model.init({'params': key, 'dropout': key}, init_batch,
+                           train=False))
+    leaves, treedef = jax.tree.flatten(shapes)
+    keys = jax.random.split(key, len(leaves))
+    params = jax.tree.unflatten(treedef, [
+        jax.random.normal(k, s.shape, s.dtype) * 0.02
+        for k, s in zip(keys, leaves)])
 
     runner = ForecastRunner(model, params, (ih, iw),
                             num_future=cfg['test_future_frame_num'])

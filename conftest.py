@@ -6,7 +6,7 @@ in CI); the real-TPU path is exercised by bench.py / __graft_entry__.py.
 
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
@@ -19,3 +19,7 @@ import jax
 jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_cc')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+
+# The axon TPU plugin (sitecustomize) force-sets jax_platforms='axon,cpu',
+# overriding the env var — tests must run on the virtual-device CPU backend.
+jax.config.update('jax_platforms', 'cpu')

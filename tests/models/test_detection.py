@@ -20,6 +20,22 @@ def test_hungarian_assign_identity():
     assert (out[3:] == -1).all()
 
 
+def test_auction_matches_scipy_cost():
+    from scipy.optimize import linear_sum_assignment
+    rng = np.random.default_rng(0)
+    q, g = 40, 7
+    cost = rng.uniform(0, 10, (q, g)).astype(np.float32)
+    owner = np.asarray(bbox_core.auction_assign(
+        jnp.asarray(cost), jnp.asarray(g)))
+    # every gt assigned to exactly one query
+    assigned = owner[owner >= 0]
+    assert len(assigned) == g and len(set(assigned)) == g
+    total = sum(cost[i, owner[i]] for i in range(q) if owner[i] >= 0)
+    rows, cols = linear_sum_assignment(cost[:, :g])
+    opt = cost[rows, cols].sum()
+    assert total <= opt + 0.05 * g, (total, opt)
+
+
 def test_normalize_denormalize_roundtrip():
     rng = np.random.default_rng(0)
     boxes = np.concatenate([

@@ -88,15 +88,84 @@ def _lap_host(cost: np.ndarray, n_valid: np.ndarray) -> np.ndarray:
     return out
 
 
-def hungarian_assign(cost: jnp.ndarray, num_valid_gt: jnp.ndarray):
-    """Solve the padded LAP on host (scipy), jit-compatible via pure_callback.
+def auction_assign(cost: jnp.ndarray, num_valid_gt: jnp.ndarray,
+                   eps_scale: float = 1e-3, max_iters: int = 512):
+    """Jittable auction algorithm for the (tall) LAP.
+
+    GTs bid for queries over value = -cost; epsilon-scaling single pass.
+    Near-optimal (within G*eps of the optimum) — used where host callbacks
+    are unavailable. cost [Q, G]; returns [Q] int32 gt index or -1.
+    """
+    qn, g = cost.shape
+    value = -cost.T  # [G, Q] bidder-major
+    rng_span = jnp.maximum(jnp.max(value) - jnp.min(value), 1.0)
+    eps = rng_span * eps_scale
+
+    gt_valid = jnp.arange(g) < num_valid_gt
+
+    def body(state):
+        prices, owner, it = state  # owner: [Q] int32 gt or -1
+        assigned = jnp.zeros((g,), bool).at[
+            jnp.where(owner >= 0, owner, g)].set(True, mode='drop')
+        net = value - prices[None, :]  # [G, Q]
+        best_q = jnp.argmax(net, axis=1)
+        best_v = jnp.max(net, axis=1)
+        net2 = net.at[jnp.arange(g), best_q].set(-jnp.inf)
+        second_v = jnp.max(net2, axis=1)
+        bid = best_v - second_v + eps
+
+        bidder_mask = gt_valid & ~assigned
+        # highest bid per query wins (resolve via scatter-max over bids)
+        bid_amount = jnp.where(bidder_mask, bid, -jnp.inf)
+        winners_bid = jnp.full((qn,), -jnp.inf).at[best_q].max(
+            bid_amount, mode='drop')
+        is_winner = bidder_mask & (bid_amount >= winners_bid[best_q]) & \
+            jnp.isfinite(bid_amount)
+        # break ties: lowest gt index wins
+        winner_gt = jnp.full((qn,), g, jnp.int32).at[best_q].min(
+            jnp.where(is_winner, jnp.arange(g), g), mode='drop')
+        has_winner = winner_gt < g
+
+        # displace previous owners of contested queries
+        owner = jnp.where(has_winner, winner_gt, owner)
+        prices = jnp.where(has_winner,
+                           prices + jnp.maximum(winners_bid, eps), prices)
+        return prices, owner, it + 1
+
+    def cond(state):
+        prices, owner, it = state
+        assigned = jnp.zeros((g,), bool).at[
+            jnp.where(owner >= 0, owner, g)].set(True, mode='drop')
+        unassigned = (gt_valid & ~assigned).any()
+        return unassigned & (it < max_iters)
+
+    init = (jnp.zeros((qn,)), jnp.full((qn,), -1, jnp.int32),
+            jnp.zeros((), jnp.int32))
+    _, owner, _ = jax.lax.while_loop(cond, body, init)
+    return owner
+
+
+def hungarian_assign(cost: jnp.ndarray, num_valid_gt: jnp.ndarray,
+                     impl: str = 'auto'):
+    """Padded LAP: scipy on host (exact, reference parity) when host
+    callbacks are available, jittable auction otherwise.
 
     cost: [Q, G_max]; num_valid_gt: [] int32. Returns [Q] int32 gt index or -1.
     """
+    if impl == 'auction' or (impl == 'auto' and _no_host_callbacks()):
+        return auction_assign(cost, num_valid_gt)
     q = cost.shape[0]
     return jax.pure_callback(
         _lap_host, jax.ShapeDtypeStruct((q,), jnp.int32),
         cost, num_valid_gt, vmap_method='sequential')
+
+
+def _no_host_callbacks() -> bool:
+    """axon-tunnelled TPUs don't support jax host callbacks."""
+    try:
+        return jax.devices()[0].platform == 'axon'
+    except Exception:
+        return False
 
 
 def nms_free_decode(cls_logits, bbox_preds, *, max_num: int = 300,

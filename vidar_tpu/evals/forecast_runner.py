@@ -19,11 +19,13 @@ import jax.numpy as jnp
 
 class ForecastRunner:
 
-    def __init__(self, model, params, img_hw, *, num_future: int):
+    def __init__(self, model, params, img_hw, *, num_future: int,
+                 can_bus_dims=(0, 1, 2, 17)):
         self.model = model
         self.params = params
         self.img_hw = tuple(img_hw)
         self.num_future = num_future
+        self.can_bus_dims = list(can_bus_dims)
 
         self._backbone = jax.jit(partial(
             model.apply, method=model.backbone_forward))
@@ -59,7 +61,7 @@ class ForecastRunner:
         hq = self.model.history_queue_length
         prev_feats = prev_bev[:, None]
         ref2hist = batch.ref2cur[:, hq][:, None]
-        can_dims = list(self.model.future_pred_head.can_bus_dims)
+        can_dims = self.can_bus_dims
         for fi in range(1, self.num_future + 1):
             pred, ref2hist = self._rollout(
                 p, prev_feats, ref2hist, batch.future2ref[:, fi],

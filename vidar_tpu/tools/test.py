@@ -49,8 +49,8 @@ def main():
     from ..core.config import load_config, apply_overrides
     from ..models import ViDAR
     from ..data.nuscenes import NuScenesViDARDataset
-    from ..train.step import make_eval_step
     from ..evals import forecast_metrics, aggregate_frame_metrics
+    from ..evals.forecast_runner import ForecastRunner
     from ..core.checkpoint import load_checkpoint, import_torch_checkpoint
 
     cfg = apply_overrides(load_config(args.config), args.cfg_options)
@@ -67,13 +67,15 @@ def main():
             params = load_checkpoint(args.checkpoint,
                                      jax.eval_shape(lambda: params))
 
-    eval_fn = make_eval_step(model)
+    num_future = cfg['model'].get('test_future_frame_num', 6)
+    eval_fn = ForecastRunner(model, params, batch0.images.shape[3:5],
+                             num_future=num_future)
     n = min(len(dataset), args.max_samples or len(dataset))
-    num_frames = cfg['model'].get('test_future_frame_num', 6) + 1
+    num_frames = num_future + 1
     results = []
     for i in range(n):
         batch = dataset[i]
-        decode = eval_fn(params, batch)
+        decode = eval_fn(batch)
         metrics = forecast_metrics(decode, cfg['model']['pc_range'],
                                    num_frames)
         results.append(metrics)
