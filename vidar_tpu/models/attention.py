@@ -250,7 +250,6 @@ class SpatialCrossAttention(nn.Module):
                            dtype=self.dtype, name='deformable_attention')
         h, lv, p = (self.deform_num_heads, self.deform_num_levels,
                     self.deform_num_points)
-        offsets, weights = _deform_offsets_weights(proj, query, h, lv, p)
 
         head_dim = self.embed_dims // h
         value_p = proj.value_proj(value)  # [bs, cams, V, C]
@@ -266,22 +265,22 @@ class SpatialCrossAttention(nn.Module):
             # compact to the visible queries per camera (static capacity):
             # stable argsort puts visible-query indices first in index order
             # — the same per-camera rebatching the reference performs
-            # dynamically (spatial_cross_attention.py:135-166).
+            # dynamically (spatial_cross_attention.py:135-166). Only the
+            # QUERY rows are gathered; the offset/weight projections run on
+            # the compacted set (cheap MXU matmuls instead of giant gathers).
             order = jnp.argsort(~visible, axis=-1, stable=True)
             sel = order[:, :, :cap]  # [bs, cams, cap]
             sel_valid = jnp.take_along_axis(visible, sel, axis=2)
 
-            off_c = jnp.take_along_axis(
-                offsets[:, None], sel[..., None, None, None, None], axis=2)
-            w_c = jnp.take_along_axis(
-                weights[:, None], sel[..., None, None, None], axis=2)
-            ref_c = jnp.take_along_axis(ref, sel[..., None, None], axis=2)
+            q_c = jnp.take_along_axis(query[:, None], sel[..., None], axis=2)
+            q_c = q_c.reshape(bs * num_cams, cap, self.embed_dims)
+            offsets, weights = _deform_offsets_weights(proj, q_c, h, lv, p)
 
-            off_c = off_c.reshape((bs * num_cams, cap) + offsets.shape[2:])
-            w_c = w_c.reshape((bs * num_cams, cap) + weights.shape[2:])
+            ref_c = jnp.take_along_axis(ref, sel[..., None, None], axis=2)
             ref_c = ref_c.reshape(bs * num_cams, cap, -1, 2)
-            loc = _z_anchor_locations(off_c, ref_c, spatial_shapes)
-            cam_out = msdeform_attn(value_p, list(spatial_shapes), loc, w_c)
+            loc = _z_anchor_locations(offsets, ref_c, spatial_shapes)
+            cam_out = msdeform_attn(value_p, list(spatial_shapes), loc,
+                                    weights)
             cam_out = cam_out.reshape(bs, num_cams, cap, self.embed_dims)
             cam_out = cam_out * sel_valid[..., None].astype(cam_out.dtype)
 
@@ -298,6 +297,7 @@ class SpatialCrossAttention(nn.Module):
                 unique_indices=True)
             cam_out = scat.reshape(bs, num_cams, num_query, self.embed_dims)
         else:
+            offsets, weights = _deform_offsets_weights(proj, query, h, lv, p)
             ref_f = ref.reshape(bs * num_cams, num_query, -1, 2)
             off_t = jnp.broadcast_to(
                 offsets[:, None], (bs, num_cams) + offsets.shape[1:]).reshape(

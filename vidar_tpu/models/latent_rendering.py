@@ -91,22 +91,26 @@ class LatentRendering(nn.Module):
         trans = jnp.cumprod(1.0 - per_prob * inside, axis=2)
         occ_path_prob = trans[..., -1, :] * per_prob[..., -1, :]  # [bs, N, Z]
 
-        # 4. ray-feature aggregation in LoRA space.
+        # 4. ray-feature aggregation in LoRA space. The LoRA features and the
+        # first-hit prob map are sampled at the SAME waypoints — fuse them
+        # into one packed gather (channels concatenated).
         way_n = path_n[:, :, :-1, :]  # drop the cell waypoint: [bs, N, G, 2]
         lora_a = TorchLinear(self.embed_dims // self.reduction,
                              dtype=self.dtype, name='lora_a')(embed)
-        feat_way = grid_sample_2d(lora_a, way_n.reshape(bs, n * g, 2))
-        feat_way = feat_way.reshape(bs, n, g, -1)  # [bs, N, G, C/r]
+        c_r = self.embed_dims // self.reduction
+        prob_map = occ_path_prob.reshape(bs, bev_h, bev_w, self.pred_height)
+        fused_map = jnp.concatenate(
+            [lora_a.astype(jnp.float32), prob_map], axis=-1)
+        fused = grid_sample_2d(fused_map, way_n.reshape(bs, n * g, 2))
+        fused = fused.reshape(bs, n, g, -1)
+        feat_way = fused[..., :c_r]            # [bs, N, G, C/r]
+        prob_way = fused[..., c_r:]            # [bs, N, G, Z]
 
         # waypoints beyond the BEV boundary along this ray don't contribute.
         boundary = jnp.minimum(1.0 / jnp.abs(radial_norm[..., 0:1]),
                                1.0 / jnp.abs(radial_norm[..., 1:2]))
         way_len = jnp.sqrt((way_n ** 2).sum(-1))  # [bs, N, G]
         way_valid = (way_len < boundary).astype(jnp.float32)
-
-        prob_map = occ_path_prob.reshape(bs, bev_h, bev_w, self.pred_height)
-        prob_way = grid_sample_2d(prob_map, way_n.reshape(bs, n * g, 2))
-        prob_way = prob_way.reshape(bs, n, g, self.pred_height)
         prob_way = prob_way * way_valid[..., None]
         prob_way = prob_way / (prob_way.sum(axis=2, keepdims=True) + eps)
 

@@ -64,6 +64,8 @@ class DeformConv2d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from ..ops.gather import pack_corners_2d, bilinear_weights, take_rows
+
         b, h, w, c_in = x.shape
         k = 3
         d = self.dilation
@@ -91,36 +93,21 @@ class DeformConv2d(nn.Module):
         ky = ky.reshape(-1)
         kx = kx.reshape(-1)
 
-        sy = gy[None, :, :, None] + ky + off[..., 0]
-        sx = gx[None, :, :, None] + kx + off[..., 1]
+        sy = (gy[None, :, :, None] + ky + off[..., 0]).reshape(b, -1)
+        sx = (gx[None, :, :, None] + kx + off[..., 1]).reshape(b, -1)
 
-        y0 = jnp.floor(sy)
-        x0 = jnp.floor(sx)
-        wy1 = (sy - y0)[..., None]
-        wx1 = (sx - x0)[..., None]
-        iy0 = y0.astype(jnp.int32)
-        ix0 = x0.astype(jnp.int32)
-
-        flat = x.reshape(b, h * w, c_in)
-
-        def gather(iy, ix):
-            valid = (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
-            idx = jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)
-            out = jnp.take_along_axis(
-                flat, idx.reshape(b, ho * wo * k * k, 1), axis=1)
-            out = out.reshape(b, ho, wo, k * k, c_in)
-            return out * valid[..., None].astype(out.dtype)
-
-        v00 = gather(iy0, ix0)
-        v01 = gather(iy0, ix0 + 1)
-        v10 = gather(iy0 + 1, ix0)
-        v11 = gather(iy0 + 1, ix0 + 1)
-        sampled = (v00 * ((1 - wy1) * (1 - wx1)).astype(v00.dtype) +
-                   v01 * ((1 - wy1) * wx1).astype(v00.dtype) +
-                   v10 * (wy1 * (1 - wx1)).astype(v00.dtype) +
-                   v11 * (wy1 * wx1).astype(v00.dtype))
-        sampled = sampled * mask.reshape(b, ho, wo, k * k, 1).astype(
-            sampled.dtype)
+        # packed-corner single-row gather (see ops/gather.py)
+        packed = pack_corners_2d(x)  # [b, (h+1)(w+1), 4*C]
+        rows = packed.shape[1]
+        row, cw = bilinear_weights(sx, sy, h, w)  # [b, N], [b, N, 4]
+        offs = (jnp.arange(b, dtype=jnp.int32) * rows)[:, None]
+        g = take_rows(packed.reshape(b * rows, 4 * c_in), row + offs)
+        g = g.reshape(b, ho * wo * k * k, 4, c_in)
+        sampled = jnp.einsum('bncd,bnc->bnd', g.astype(jnp.float32),
+                             cw.astype(jnp.float32))
+        sampled = sampled.reshape(b, ho, wo, k * k, c_in)
+        sampled = sampled * mask.reshape(b, ho, wo, k * k, 1)
+        sampled = sampled.astype(x.dtype)
 
         kernel = self.param('kernel', _conv_kernel_init,
                             (k * k * c_in, self.features))

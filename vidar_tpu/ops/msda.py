@@ -20,6 +20,7 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _level_sample(value_l: jnp.ndarray, loc: jnp.ndarray, h: int, w: int):
@@ -135,6 +136,11 @@ def _level_sample_packed(packed: jnp.ndarray, loc: jnp.ndarray,
 
 
 def _msda_block_packed(packed_levels, spatial_shapes, loc, weights):
+    """One query-block of packed-corner deformable attention (per-level takes).
+
+    Measured fastest on v5e: per-level flat takes of 256B rows (the gather
+    row-rate sweet spot) + per-level weighted reduction.
+    """
     b, qb, heads = loc.shape[:3]
     dim = packed_levels[0].shape[-1] // 4
     out = jnp.zeros((b, qb, heads, dim), jnp.float32)
@@ -143,6 +149,74 @@ def _msda_block_packed(packed_levels, spatial_shapes, loc, weights):
                                        h, w)
         w_l = weights[:, :, :, lvl].astype(jnp.float32)
         out = out + jnp.einsum('bqhpd,bqhp->bqhd', sampled, w_l)
+    return out.reshape(b, qb, heads * dim)
+
+
+def _msda_block_atlas(packed_levels, spatial_shapes, loc, weights):
+    """One query-block over ALL levels with a single fused atlas gather.
+
+    The per-(b, head, level) packed tables are concatenated into one flat
+    atlas; each sample's row index carries its (b, head, level) base offset so
+    the whole block costs ONE `jnp.take` (TPU gathers are launch/row-rate
+    bound — one big gather beats 4 level gathers).
+    """
+    b, qb, heads, num_levels, p, _ = loc.shape
+    dim = packed_levels[0].shape[-1] // 4
+
+    level_rows = [pl.shape[2] for pl in packed_levels]
+    atlas = jnp.concatenate(packed_levels, axis=2)  # [b, heads, R_tot, 4d]
+    r_tot = atlas.shape[2]
+    flat = atlas.reshape(b * heads * r_tot, 4 * dim)
+
+    rows = []
+    cws = []
+    base = 0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        x = loc[..., lvl, :, 0].astype(jnp.float32) * w - 0.5  # [b,q,h,p]
+        y = loc[..., lvl, :, 1].astype(jnp.float32) * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        wx1 = x - x0
+        wy1 = y - y0
+        ix0 = x0.astype(jnp.int32)
+        iy0 = y0.astype(jnp.int32)
+        valid = ((iy0 >= -1) & (iy0 <= h - 1) & (ix0 >= -1) & (ix0 <= w - 1))
+        row = (jnp.clip(iy0 + 1, 0, h) * (w + 1) +
+               jnp.clip(ix0 + 1, 0, w)) + base
+        wx0 = 1.0 - wx1
+        wy0 = 1.0 - wy1
+        cw = jnp.stack([wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1], -1)
+        cw = cw * valid[..., None]
+        # fold the attention weight into the corner weights
+        cw = cw * weights[..., lvl, :, None].astype(jnp.float32)
+        rows.append(row)
+        cws.append(cw)
+        base += (h + 1) * (w + 1)
+
+    row = jnp.stack(rows, axis=3)          # [b, q, heads, L, p]
+    cw = jnp.stack(cws, axis=3)            # [b, q, heads, L, p, 4]
+    bh_off = (jax.lax.broadcasted_iota(jnp.int32, (b, heads), 0) * heads +
+              jax.lax.broadcasted_iota(jnp.int32, (b, heads), 1)) * r_tot
+    row = row + bh_off[:, None, :, None, None]
+
+    # Lane-clean reduction: a reshape to [..., 4, dim] tile-pads the trailing
+    # dim to 128 lanes (4x memory blowup). Instead keep rows as [M, 4*dim],
+    # broadcast corner weights across each dim-block, and contract the
+    # (level, point, corner) axes with a constant 0/1 selection matrix on the
+    # MXU: out[m, d] = sum_{s, c} P[m, s*4dim + c*dim + d].
+    m = b * qb * heads
+    lp = num_levels * p
+    g = jnp.take(flat, row.reshape(-1), axis=0, mode='clip')  # [M*lp, 4dim]
+    cw_flat = cw.reshape(m * lp, 4)
+    cw_rep = jnp.repeat(cw_flat, dim, axis=1)  # [M*lp, 4dim]
+    pw = g.astype(jnp.float32) * cw_rep
+
+    sel = np.zeros((lp * 4 * dim, dim), np.float32)
+    for s in range(lp):
+        for c in range(4):
+            base2 = (s * 4 + c) * dim
+            sel[base2:base2 + dim, :] = np.eye(dim)
+    out = pw.reshape(m, lp * 4 * dim) @ jnp.asarray(sel)
     return out.reshape(b, qb, heads * dim)
 
 
@@ -162,7 +236,7 @@ def msdeform_attn(value: jnp.ndarray,
                   spatial_shapes: Sequence[Tuple[int, int]],
                   sampling_locations: jnp.ndarray,
                   attention_weights: jnp.ndarray,
-                  query_chunk: int = 4096,
+                  query_chunk: int = 2048,
                   impl: str = 'packed') -> jnp.ndarray:
     """Multi-scale deformable attention.
 
@@ -194,16 +268,17 @@ def msdeform_attn(value: jnp.ndarray,
             jax.lax.slice_in_dim(value, start, start + h * w, axis=1))
         start += h * w
 
-    if impl == 'packed':
+    if impl in ('packed', 'atlas'):
+        block = (_msda_block_packed if impl == 'packed'
+                 else _msda_block_atlas)
         packed_levels = [
             _pack_corners(v_l, h, w)
             for v_l, (h, w) in zip(value_levels, spatial_shapes)]
         if q <= query_chunk:
-            return _msda_block_packed(packed_levels, spatial_shapes,
-                                      sampling_locations, attention_weights)
+            return block(packed_levels, spatial_shapes,
+                         sampling_locations, attention_weights)
         return _scan_query_chunks(
-            lambda l_c, w_c: _msda_block_packed(
-                packed_levels, spatial_shapes, l_c, w_c),
+            lambda l_c, w_c: block(packed_levels, spatial_shapes, l_c, w_c),
             sampling_locations, attention_weights, heads * dim, query_chunk)
 
     if q <= query_chunk:
