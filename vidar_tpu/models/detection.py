@@ -249,3 +249,30 @@ class BEVFormerHead(nn.Module):
             c, b, max_num=self.bbox_coder_max_num,
             num_classes=self.num_classes,
             post_center_range=self.post_center_range))(cls_s, box_p)
+
+
+class BEVFormerHeadGroupDETR(BEVFormerHead):
+    """Group-DETR variant: ``group_detr`` independent query groups share the
+    decoder at train time (one-to-many assignment); inference uses only the
+    first group (reference bevformer_head.py:513+ BEVFormerHead_GroupDETR,
+    registered but unused by the released configs)."""
+    group_detr: int = 1
+
+    def loss(self, preds, gt_bboxes, gt_labels, num_valid_gt):
+        g = self.group_detr
+        per = self.num_query // max(g, 1)
+        losses = {}
+        for gi in range(g):
+            sl = slice(gi * per, (gi + 1) * per)
+            sub = dict(all_cls_scores=preds['all_cls_scores'][:, :, sl],
+                       all_bbox_preds=preds['all_bbox_preds'][:, :, sl])
+            for k, v in super().loss(sub, gt_bboxes, gt_labels,
+                                     num_valid_gt).items():
+                losses[k] = losses.get(k, 0.0) + v / g
+        return losses
+
+    def get_bboxes(self, preds):
+        per = self.num_query // max(self.group_detr, 1)
+        sub = dict(all_cls_scores=preds['all_cls_scores'][:, :, :per],
+                   all_bbox_preds=preds['all_bbox_preds'][:, :, :per])
+        return super().get_bboxes(sub)

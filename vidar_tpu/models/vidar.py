@@ -209,6 +209,11 @@ class ViDAR(nn.Module):
         Returns [num_future, layers, bs, H*W, C].
         """
         bs = ref_bev.shape[0]
+        if batch.future2ref.shape[1] < num_future + 1:
+            raise ValueError(
+                f'batch future chain has {batch.future2ref.shape[1] - 1} '
+                f'future frames but the rollout needs {num_future} '
+                f'(future_pred_frame_num / test_future_frame_num)')
         can_dims = np.asarray(self.future_pred_head.can_bus_dims)
 
         init_ref2hist = batch.ref2cur[:, self.history_queue_length][:, None]
