@@ -22,6 +22,32 @@ from ..ops.grid_sample import grid_sample_2d
 from .layers import TorchLinear
 
 
+def _scan_cells(block_fn, per_cell_args, n: int, chunk: int, bs: int,
+                out_dim: int):
+    """Scan a checkpointed block over chunks of BEV cells.
+
+    per_cell_args: tuple of [bs, N, ...] arrays split along axis 1.
+    Returns [bs, N, out_dim] fp32.
+    """
+    if n <= chunk:
+        return jax.checkpoint(block_fn)(*per_cell_args)
+    num_chunks = (n + chunk - 1) // chunk
+    pad = num_chunks * chunk - n
+    padded = [jnp.pad(a, ((0, 0), (0, pad)) + ((0, 0),) * (a.ndim - 2))
+              for a in per_cell_args]
+    stacked = [jnp.moveaxis(
+        a.reshape((bs, num_chunks, chunk) + a.shape[2:]), 1, 0)
+        for a in padded]
+    blk = jax.checkpoint(block_fn)
+
+    def body(_, xs):
+        return None, blk(*xs)
+
+    _, out = jax.lax.scan(body, None, tuple(stacked))
+    out = jnp.moveaxis(out, 0, 1).reshape(bs, num_chunks * chunk, out_dim)
+    return out[:, :n]
+
+
 def _bev_center_grids(h: int, w: int):
     """Normalised [0,1] cell-center coordinates, flattened row-major [H*W, 2]."""
     ys = (np.arange(h, dtype=np.float32) + 0.5) / h
@@ -42,6 +68,8 @@ class LatentRendering(nn.Module):
     reduction: int = 16
     act: str = 'exp'
     dtype: jnp.dtype | None = None
+
+    ray_chunk: int = 4096  # cells per scan step (bounds gather residuals)
 
     @nn.compact
     def __call__(self, embed, eps: float = 1e-3):
@@ -68,65 +96,77 @@ class LatentRendering(nn.Module):
         radial_norm = jnp.nan_to_num(radial_norm)
         step = self.grid_step / (min(bev_h, bev_w) // 2)
         steps = (jnp.arange(g, dtype=jnp.float32) + 0.5) * step
-        way = 0.5 + radial_norm[:, :, None, :] * steps[None, None, :, None]
-        # append the cell itself as the final waypoint: [bs, N, G+1, 2]
-        path = jnp.concatenate([way, grids[:, :, None, :]], axis=2)
-        path_n = path * 2.0 - 1.0  # [-1, 1] for grid sampling
 
-        # 3. per-waypoint occupancy prob along the path.
-        per_prob = grid_sample_2d(
-            occ_pred, path_n.reshape(bs, n * (g + 1), 2))
-        per_prob = per_prob.reshape(bs, n, g + 1, self.pred_height)
-        if self.act == 'exp':
-            per_prob = 1.0 - jnp.exp(-nn.relu(per_prob))
-        elif self.act == 'sigmoid':
-            per_prob = jax.nn.sigmoid(per_prob)
-        else:
-            raise NotImplementedError(self.act)
+        act = self.act
+        if act not in ('exp', 'sigmoid'):
+            raise NotImplementedError(act)
+        zdim = self.pred_height
 
-        # waypoints beyond the cell's own radius don't block it.
-        path_len = jnp.sqrt((path_n ** 2).sum(-1, keepdims=True))
-        inside = (path_len < path_len[..., -1:, :]).astype(per_prob.dtype)
-        # transmittance accumulated to the final (cell) waypoint.
-        trans = jnp.cumprod(1.0 - per_prob * inside, axis=2)
-        occ_path_prob = trans[..., -1, :] * per_prob[..., -1, :]  # [bs, N, Z]
+        def cell_path(grids_c, radial_norm_c):
+            """Waypoint path for a chunk of cells: [bs, Nc, G+1, 2] in [-1,1]."""
+            way = 0.5 + radial_norm_c[:, :, None, :] * \
+                steps[None, None, :, None]
+            path = jnp.concatenate([way, grids_c[:, :, None, :]], axis=2)
+            return path * 2.0 - 1.0
 
-        # 4. ray-feature aggregation in LoRA space. The LoRA features and the
-        # first-hit prob map are sampled at the SAME waypoints — fuse them
-        # into one packed gather (channels concatenated).
-        way_n = path_n[:, :, :-1, :]  # drop the cell waypoint: [bs, N, G, 2]
+        # ---- pass 1 (chunked): per-cell first-hit probability --------------
+        def prob_block(grids_c, radial_norm_c):
+            nc = grids_c.shape[1]
+            path_n = cell_path(grids_c, radial_norm_c)
+            per_prob = grid_sample_2d(
+                occ_pred, path_n.reshape(bs, nc * (g + 1), 2))
+            per_prob = per_prob.reshape(bs, nc, g + 1, zdim)
+            if act == 'exp':
+                per_prob = 1.0 - jnp.exp(-nn.relu(per_prob))
+            else:
+                per_prob = jax.nn.sigmoid(per_prob)
+            path_len = jnp.sqrt((path_n ** 2).sum(-1, keepdims=True))
+            inside = (path_len < path_len[..., -1:, :]).astype(per_prob.dtype)
+            trans = jnp.cumprod(1.0 - per_prob * inside, axis=2)
+            return trans[..., -1, :] * per_prob[..., -1, :]  # [bs, Nc, Z]
+
+        occ_path_prob = _scan_cells(prob_block, (grids, radial_norm),
+                                    n, self.ray_chunk, bs, zdim)
+
+        # ---- pass 2 (chunked): ray-feature aggregation in LoRA space ------
+        # The LoRA features and the first-hit prob map are sampled at the
+        # SAME waypoints — fused into one packed gather.
         lora_a = TorchLinear(self.embed_dims // self.reduction,
                              dtype=self.dtype, name='lora_a')(embed)
         c_r = self.embed_dims // self.reduction
-        prob_map = occ_path_prob.reshape(bs, bev_h, bev_w, self.pred_height)
+        prob_map = occ_path_prob.reshape(bs, bev_h, bev_w, zdim)
         fused_map = jnp.concatenate(
             [lora_a.astype(jnp.float32), prob_map], axis=-1)
-        fused = grid_sample_2d(fused_map, way_n.reshape(bs, n * g, 2))
-        fused = fused.reshape(bs, n, g, -1)
-        feat_way = fused[..., :c_r]            # [bs, N, G, C/r]
-        prob_way = fused[..., c_r:]            # [bs, N, G, Z]
+        group = c_r // zdim  # 1 in the released configs
 
-        # waypoints beyond the BEV boundary along this ray don't contribute.
-        boundary = jnp.minimum(1.0 / jnp.abs(radial_norm[..., 0:1]),
-                               1.0 / jnp.abs(radial_norm[..., 1:2]))
-        way_len = jnp.sqrt((way_n ** 2).sum(-1))  # [bs, N, G]
-        way_valid = (way_len < boundary).astype(jnp.float32)
-        prob_way = prob_way * way_valid[..., None]
-        prob_way = prob_way / (prob_way.sum(axis=2, keepdims=True) + eps)
+        def agg_block(grids_c, radial_norm_c):
+            nc = grids_c.shape[1]
+            path_n = cell_path(grids_c, radial_norm_c)
+            way_n = path_n[:, :, :-1, :]  # [bs, Nc, G, 2]
+            fused = grid_sample_2d(fused_map, way_n.reshape(bs, nc * g, 2))
+            fused = fused.reshape(bs, nc, g, -1)
+            feat_way = fused[..., :c_r]
+            prob_way = fused[..., c_r:]
+            boundary = jnp.minimum(1.0 / jnp.abs(radial_norm_c[..., 0:1]),
+                                   1.0 / jnp.abs(radial_norm_c[..., 1:2]))
+            way_len = jnp.sqrt((way_n ** 2).sum(-1))
+            way_valid = (way_len < boundary).astype(jnp.float32)
+            prob_way = prob_way * way_valid[..., None]
+            prob_way = prob_way / (prob_way.sum(axis=2, keepdims=True) + eps)
+            # LoRA channels split into pred_height groups; group z weighted by
+            # height-bin z's ray prob (reference latent_rendering.py:148-151
+            # via the view(bs, pred_height, -1, N, G) aliasing).
+            feat_g = feat_way.reshape(bs, nc, g, zdim, group)
+            ray_feat = (feat_g * prob_way[..., None]).sum(axis=2)
+            return ray_feat.reshape(bs, nc, c_r)
 
-        # LoRA channels are split into pred_height groups; group z is weighted
-        # by height-bin z's prob along the ray (reference latent_rendering.py:
-        # 148-151 via the view(bs, pred_height, -1, N, G) aliasing).
-        c_r = self.embed_dims // self.reduction
-        group = c_r // self.pred_height  # 1 in the released configs
-        feat_g = feat_way.reshape(bs, n, g, self.pred_height, group)
-        ray_feat = (feat_g * prob_way[..., None]).sum(axis=2)  # [bs,N,Z,grp]
-        ray_feat = ray_feat.reshape(bs, n, c_r)
+        ray_feat = _scan_cells(agg_block, (grids, radial_norm),
+                               n, self.ray_chunk, bs, c_r)
+
         up = TorchLinear(self.embed_dims, dtype=self.dtype,
                          name='lora_b')(ray_feat)  # [bs, N, C]
 
         # 5. scale by first-hit probability per height group.
-        up = up.reshape(bs, n, self.pred_height,
-                        self.embed_dims // self.pred_height)
+        up = up.reshape(bs, n, zdim, self.embed_dims // zdim)
         out = up * occ_path_prob[..., None]
         return out.reshape(bs, bev_h, bev_w, self.embed_dims)

@@ -171,12 +171,14 @@ class ResNet(nn.Module):
     stage_with_dcn: Tuple[bool, ...] = (False, False, True, True)
     strides: Tuple[int, ...] = (1, 2, 2, 2)
     dilations: Tuple[int, ...] = (1, 1, 1, 1)
+    remat: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
         """x: [B, H, W, 3] (caffe-normalised BGR). Returns list of NHWC maps."""
         blocks = ARCH_SETTINGS[self.depth]
+        block_cls = nn.remat(Bottleneck) if self.remat else Bottleneck
 
         h = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, kernel_init=_conv_kernel_init,
@@ -193,7 +195,7 @@ class ResNet(nn.Module):
         for stage, num_blocks in enumerate(blocks):
             for i in range(num_blocks):
                 stride = self.strides[stage] if i == 0 else 1
-                h = Bottleneck(
+                h = block_cls(
                     mid_channels=mid,
                     stride=stride,
                     dilation=self.dilations[stage],

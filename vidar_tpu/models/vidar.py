@@ -84,6 +84,7 @@ class ViDAR(nn.Module):
             depth=self.backbone_depth, out_indices=(1, 2, 3),
             frozen_stages=self.frozen_stages,
             stage_with_dcn=self.backbone_dcn,
+            remat=self.remat,
             dtype=self.dtype, name='img_backbone')
         self.img_neck = FPN(out_channels=self.embed_dims, num_outs=4,
                             dtype=self.dtype, name='img_neck')
@@ -302,7 +303,18 @@ class ViDAR(nn.Module):
             cur = grid_mask(self.make_rng('aug'),
                             images[:, -1].reshape(bs * cams, h, w, c))
             images = images.at[:, -1].set(cur.reshape(bs, cams, h, w, c))
-        feats = self.extract_feats(images)
+        if train:
+            # Split the backbone: history frames carry no gradient (frozen
+            # recurrence), so their activations must not be saved for the
+            # backward pass — run them under stop_gradient in a separate
+            # call from the current frame.
+            hist = jax.tree.map(jax.lax.stop_gradient,
+                                self.extract_feats(images[:, :-1]))
+            cur_f = self.extract_feats(images[:, -1:])
+            feats = [jnp.concatenate([hf, cf], axis=0)
+                     for hf, cf in zip(hist, cur_f)]
+        else:
+            feats = self.extract_feats(images)
 
         num_future = (self.future_pred_frame_num if train
                       else self.test_future_frame_num)

@@ -224,9 +224,12 @@ class ViDARHead(nn.Module):
             origin_grids = ray_loss.coords_to_voxel_grids(
                 origins, self.bev_h, self.bev_w, zdim, self.pc_range)
 
-            rays = ray_loss.ray_waypoint_features(
-                sigma_vol, origin_grids, gt_grids, frame_idx,
-                self.ray_grid_num, self.ray_grid_step)
+            # checkpointed: the waypoint gather residuals are huge; recompute
+            # them in the backward pass instead of storing [P, G, 4Z] floats.
+            rays = jax.checkpoint(
+                lambda sv, og, gg, fi: ray_loss.ray_waypoint_features(
+                    sv, og, gg, fi, self.ray_grid_num, self.ray_grid_step)
+            )(sigma_vol, origin_grids, gt_grids, frame_idx)
 
             # per-ray weight: frame row weight; aux channels supervise only
             # rollout frame 0 (reference vidar_head_v1.py:194-199).
