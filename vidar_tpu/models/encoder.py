@@ -195,6 +195,7 @@ class BEVFormerEncoder(nn.Module):
                                            img_hw)
 
         exists = prev_bev_exists.reshape(bs, 1, 1)
+        exists4 = prev_bev_exists.reshape(bs, 1, 1, 1)
         shift_ref_2d = ref_2d + shift[:, None, :]
         ref_prev = jnp.where(exists, shift_ref_2d, ref_2d)
         # [bs, 2, N, 1, 2]: slot 0 = prev refs (shifted), slot 1 = cur refs.
@@ -204,7 +205,7 @@ class BEVFormerEncoder(nn.Module):
         value_pair = jnp.stack([prev_slot, bev_query], axis=1)
         # when no prev exists, TSA must see [cur_layer_query, cur_layer_query]
         # rather than the frozen initial bev_query — tracked via this flag.
-        use_queue = exists
+        use_queue = exists4
 
         query = bev_query
         intermediate = []
