@@ -104,6 +104,8 @@ class UniAD(nn.Module):
     bev_h: int = 200
     bev_w: int = 200
     num_cams: int = 6
+    num_query: int = 900
+    backbone_depth: int = 101
     task_loss_weight: Optional[dict] = None
     latent_render_lids: Tuple[int, ...] = (2,)
     latent_render_cfg: Optional[dict] = None
@@ -112,7 +114,8 @@ class UniAD(nn.Module):
     def setup(self):
         self.track = UniADTrack(
             embed_dims=self.embed_dims, bev_h=self.bev_h, bev_w=self.bev_w,
-            num_cams=self.num_cams,
+            num_cams=self.num_cams, num_query=self.num_query,
+            backbone_depth=self.backbone_depth,
             latent_render_lids=self.latent_render_lids,
             latent_render_cfg=self.latent_render_cfg,
             dtype=self.dtype, name='track')
