@@ -111,3 +111,47 @@ def chamfer_distance(src, dst, tile: int = 2048):
     l_src, l_dst, _, _ = chamfer_distance_masked(src, dst, src_mask, dst_mask,
                                                  tile=tile)
     return (l_src + l_dst) / 2.0
+
+
+class ChamferDistance:
+    """API-parity wrapper for the reference's chamferdist module
+    (third_lib/chamfer_dist/chamferdist/chamfer.py:24-31):
+    ``cd(src, tgt, bidirectional=..., reverse=..., reduction=...)`` over
+    batched [B, N, 3] clouds, returning squared-distance losses (+ nearest
+    indices like the (dists, idx) info outputs).
+    """
+
+    def __call__(self, source, target, *, bidirectional: bool = False,
+                 reverse: bool = False, reduction: str = 'mean',
+                 tile: int = 2048):
+        b = source.shape[0]
+        fwd_d = []
+        fwd_i = []
+        bwd_d = []
+        bwd_i = []
+        for i in range(b):
+            s, t = source[i], target[i]
+            sm = jnp.ones(s.shape[0], bool)
+            tm = jnp.ones(t.shape[0], bool)
+            d, idx = nearest_neighbor_sq(s, t, sm, tm, tile=tile)
+            fwd_d.append(d)
+            fwd_i.append(idx)
+            if bidirectional or reverse:
+                d2, i2 = nearest_neighbor_sq(t, s, tm, sm, tile=tile)
+                bwd_d.append(d2)
+                bwd_i.append(i2)
+
+        def red(ds):
+            ds = jnp.stack(ds)
+            if reduction == 'sum':
+                return ds.sum(axis=1).sum()
+            if reduction == 'mean':
+                return ds.mean(axis=1).sum()
+            return ds
+
+        fwd = red(fwd_d)
+        if bidirectional:
+            return fwd, red(bwd_d), (jnp.stack(fwd_d), jnp.stack(fwd_i))
+        if reverse:
+            return red(bwd_d), (jnp.stack(bwd_d), jnp.stack(bwd_i))
+        return fwd, (jnp.stack(fwd_d), jnp.stack(fwd_i))

@@ -180,6 +180,39 @@ def voxel_render(sigma: jnp.ndarray, origin: jnp.ndarray,
     return pred, gt
 
 
+@partial(jax.jit, static_argnames=('max_steps', 'loss'))
+def voxel_render_loss(sigma, origin, points, tindex, *, loss: str = 'l1',
+                      max_steps: int = 417):
+    """Render + in-kernel ray loss (the dvr ``render`` capability,
+    reference third_lib/dvr/dvr.cu:639-670 with selectable l1/l2/absrel/bce).
+
+    Returns (pred_dist, gt_dist, per_ray_loss).
+    """
+    pred, gt = voxel_render(sigma, origin, points, tindex,
+                            max_steps=max_steps)
+    valid = (gt > 0).astype(jnp.float32)
+    if loss == 'l1':
+        l = jnp.abs(pred - gt)
+    elif loss == 'l2':
+        l = (pred - gt) ** 2
+    elif loss == 'absrel':
+        l = jnp.abs(pred - gt) / jnp.maximum(gt, 1e-6)
+    elif loss == 'bce':
+        p = jnp.clip(pred / jnp.maximum(gt, 1e-6), 1e-6, 1 - 1e-6)
+        l = -jnp.log(p)
+    else:
+        raise ValueError(loss)
+    return pred, gt, l * valid
+
+
+def voxel_render_forward(sigma, origin, points, tindex, max_steps: int = 417):
+    """Inference-only rendering (the dvr ``render_forward`` capability,
+    reference dvr.cu:66,327) — identical math, gradients stopped."""
+    pred, gt = voxel_render(jax.lax.stop_gradient(sigma), origin, points,
+                            tindex, max_steps=max_steps)
+    return pred, gt
+
+
 @partial(jax.jit, static_argnames=('max_steps',))
 def voxel_render_v2(sigma, origin, points, tindex, sigma_regul,
                     max_steps: int = 417):
