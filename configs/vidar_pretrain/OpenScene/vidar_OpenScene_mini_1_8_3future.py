@@ -1,5 +1,7 @@
-# ViDAR pretrain, nuScenes 1/8 subset, 3-future supervision.
-# Mirrors the reference config of the same name (leaf-name compatible).
+# ViDAR pretrain on OpenScene/nuPlan (mini split, 1/8 subset, 3 futures).
+# Mirrors reference vidar_OpenScene_mini_1_8_3future.py: 8 cameras, nuPlan
+# loaders, image scale 2/3, head predicts current frame only
+# (pred history/future = 0), rand_frame_interval (1,).
 _base_ = ['../../_base_/default_runtime.py']
 
 point_cloud_range = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
@@ -8,14 +10,9 @@ bev_w_ = 200
 queue_length = 4
 future_queue_length_train = 3
 future_queue_length_test = 6
-
-ida_aug_conf = {
-    'reisze': [720, 765, 810, 855, 900, 945, 990, 1035, 1080],
-    'crop': (0, 0, 1600, 900),
-    'H': 900,
-    'W': 1600,
-    'rand_flip': True,
-}
+num_cams = 8
+load_frame_interval = 8
+data_split = 'mini'
 
 model = dict(
     type='ViDAR',
@@ -23,7 +20,7 @@ model = dict(
     bev_h=bev_h_,
     bev_w=bev_w_,
     pc_range=point_cloud_range,
-    num_cams=6,
+    num_cams=num_cams,
     backbone_depth=101,
     backbone_dcn=(False, False, True, True),
     frozen_stages=1,
@@ -31,9 +28,9 @@ model = dict(
     test_future_frame_num=6,
     history_queue_length=queue_length,
     supervise_all_future=True,
-    pred_history_frame_num=3,
-    pred_future_frame_num=1,
-    per_frame_loss_weight=(0.2, 0.4, 0.6, 1.0, 1.2),
+    pred_history_frame_num=0,
+    pred_future_frame_num=0,
+    per_frame_loss_weight=(1.0,),
     loss_weight=((1,), (1,), (1,), (1,), (0,)),
     num_pred_height=16,
     ray_grid_num=512,
@@ -51,26 +48,27 @@ model = dict(
 
 data = dict(
     train=dict(
-        type='NuScenesViDARDatasetV1',
-        ann_file='data/nuscenes/nuscenes_infos_temporal_train.pkl',
-        data_root='data/nuscenes/',
+        type='NuPlanViDARDatasetV1',
+        ann_file=f'data/openscene-v1.1/openscene_{data_split}_train.pkl',
+        data_root='data/openscene-v1.1/',
         queue_length=queue_length,
         future_length=future_queue_length_train,
-        rand_frame_interval=(-1, 1, 2),
+        rand_frame_interval=(1,),
         ego_mask=(-0.8, -1.5, 0.8, 2.5),
-        load_frame_interval=8,
+        load_frame_interval=load_frame_interval,
+        image_scale=0.6666666666666666,
         test_mode=False,
         bev_size=(bev_h_, bev_w_),
         pc_range=point_cloud_range,
-        ida_aug_conf=ida_aug_conf,
     ),
     test=dict(
-        type='NuScenesViDARDatasetV1',
-        ann_file='data/nuscenes/nuscenes_infos_temporal_val.pkl',
-        data_root='data/nuscenes/',
+        type='NuPlanViDARDatasetV1',
+        ann_file=f'data/openscene-v1.1/openscene_{data_split}_val.pkl',
+        data_root='data/openscene-v1.1/',
         queue_length=queue_length,
         future_length=future_queue_length_test,
         ego_mask=(-0.8, -1.5, 0.8, 2.5),
+        image_scale=0.6666666666666666,
         test_mode=True,
         bev_size=(bev_h_, bev_w_),
         pc_range=point_cloud_range,

@@ -3,6 +3,7 @@
 _base_ = ['./vidar_1_8_nusc_3future.py']
 
 model = dict(
+    type='ViDAR',
     supervise_all_future=False,
     pred_history_frame_num=0,
     pred_future_frame_num=0,

@@ -4,6 +4,7 @@
 _base_ = ['./vidar_1_8_nusc_3future.py']
 
 model = dict(
+    type='ViDAR',
     future_pred_frame_num=0,
     decoder_num_layers=1,
 )

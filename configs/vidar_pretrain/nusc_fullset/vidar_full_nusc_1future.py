@@ -4,6 +4,7 @@ _base_ = ['../nusc_1_8_subset/vidar_1_8_nusc_1future.py']
 
 data = dict(
     train=dict(
+        type='NuScenesViDARDatasetV1',
         ann_file='data/nuscenes/nuscenes_infos_temporal_traintest.pkl',
         load_frame_interval=1,
     ),

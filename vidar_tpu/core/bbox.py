@@ -152,6 +152,9 @@ def hungarian_assign(cost: jnp.ndarray, num_valid_gt: jnp.ndarray,
 
     cost: [Q, G_max]; num_valid_gt: [] int32. Returns [Q] int32 gt index or -1.
     """
+    # the assignment is discrete: no gradient flows through it (the reference
+    # detaches via no-grad target building, bevformer_head.py get_targets)
+    cost = jax.lax.stop_gradient(cost)
     if impl == 'auction' or (impl == 'auto' and _no_host_callbacks()):
         return auction_assign(cost, num_valid_gt)
     q = cost.shape[0]
@@ -178,7 +181,7 @@ def nms_free_decode(cls_logits, bbox_preds, *, max_num: int = 300,
     dict(bboxes [K, 9], scores [K], labels [K], valid [K]).
     """
     scores = jax.nn.sigmoid(cls_logits).reshape(-1)
-    top_scores, idx = jax.lax.top_k(scores, max_num)
+    top_scores, idx = jax.lax.top_k(scores, min(max_num, scores.size))
     labels = idx % num_classes
     box_idx = idx // num_classes
     boxes = denormalize_bbox(bbox_preds[box_idx])

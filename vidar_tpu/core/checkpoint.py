@@ -42,6 +42,48 @@ def load_checkpoint(path: str, abstract_state):
     return ckptr.restore(os.path.abspath(path), abstract_state)
 
 
+def load_params_partial(path: str, params):
+    """Initialise from a previous stage's orbax checkpoint whose param tree
+    may differ (e.g. ViDAR pretrain -> BEVFormer fine-tune: the encoder /
+    backbone subtrees transfer, the future head does not — the reference's
+    ``load_from`` + mmcv load_state_dict(strict=False) contract).
+
+    Copies every leaf whose path exists in both trees with matching shape;
+    returns (params, num_loaded, num_skipped)."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.PyTreeCheckpointer()
+    raw = ckptr.restore(os.path.abspath(path))
+    src = raw.get('params', raw) if isinstance(raw, dict) else raw
+
+    stats = {'loaded': 0, 'skipped': 0}
+
+    def merge(dst, s):
+        if not isinstance(dst, dict):
+            return dst
+        out = {}
+        for k, v in dst.items():
+            if isinstance(s, dict) and k in s:
+                if isinstance(v, dict):
+                    out[k] = merge(v, s[k])
+                elif (hasattr(s[k], 'shape') and
+                      tuple(s[k].shape) == tuple(v.shape)):
+                    out[k] = jnp.asarray(s[k], v.dtype)
+                    stats['loaded'] += 1
+                else:
+                    out[k] = v
+                    stats['skipped'] += 1
+            else:
+                out[k] = v
+                stats['skipped'] += 1
+        return out
+
+    import flax
+    plain = flax.core.unfreeze(params) if hasattr(params, 'unfreeze') \
+        else params
+    merged = merge(plain, src)
+    return merged, stats['loaded'], stats['skipped']
+
+
 # ------------------------------------------------------------ torch import
 
 BN_EPS = 1e-5

@@ -308,3 +308,98 @@ class NuScenesViDARDataset:
             gt_points=jnp.asarray(pts[None], jnp.float32),
             gt_tindex=jnp.asarray(tindex[None], jnp.int32),
         )
+
+
+DET_CLASS_NAMES = ('car', 'truck', 'construction_vehicle', 'bus', 'trailer',
+                   'barrier', 'motorcycle', 'bicycle', 'pedestrian',
+                   'traffic_cone')
+
+
+class NuScenesDetDataset(NuScenesViDARDataset):
+    """Fine-tune detection dataset (reference ``CustomNuScenesDataset``,
+    datasets/nuscenes_dataset.py): BEVFormer-style history queue + statically
+    padded 3D gt boxes for the current frame, with the
+    ``use_pretrain_data`` index filter (:43-69 — align the fine-tune data to
+    the samples the pretrain stage could use, then stride 4 ≈ 25%).
+
+    gt boxes come out as [G, 9] (cx cy cz_gravity w l h rot vx vy) — the
+    gravity-center + velocity form the reference head's loss consumes
+    (dense_heads/bevformer_head.py:342: cat(gravity_center, tensor[:, 3:])).
+    """
+
+    def __init__(self, ann_file: str, classes=DET_CLASS_NAMES,
+                 use_valid_flag: bool = True,
+                 use_pretrain_data: bool = False,
+                 max_gt: int = 128, **kwargs):
+        kwargs.setdefault('future_length', 0)
+        super().__init__(ann_file, **kwargs)
+        self.classes = tuple(classes)
+        self.class_to_id = {c: i for i, c in enumerate(self.classes)}
+        self.use_valid_flag = use_valid_flag
+        self.max_gt = max_gt
+        if use_pretrain_data:
+            usable = []
+            last_scene = None
+            frame_in_scene = 0
+            valid_future_length = 3
+            for idx, info in enumerate(self.data_infos):
+                if info['scene_token'] != last_scene:
+                    last_scene = info['scene_token']
+                    frame_in_scene = 0
+                    continue
+                frame_in_scene += 1
+                if frame_in_scene >= self.queue_length:
+                    tgt = idx + valid_future_length
+                    if tgt >= len(self.data_infos):
+                        break
+                    if self.data_infos[tgt]['scene_token'] != last_scene:
+                        continue
+                    usable.append(idx)
+            self.usable_index = usable[::4]
+
+    def _gt_arrays(self, info):
+        boxes = np.asarray(info.get('gt_boxes',
+                                    np.zeros((0, 7))), np.float64)
+        names = np.asarray(info.get('gt_names', np.zeros((0,), object)))
+        vel = np.asarray(info.get('gt_velocity',
+                                  np.zeros((0, 2))), np.float64)
+        vel = np.nan_to_num(vel)
+        if self.use_valid_flag and 'valid_flag' in info:
+            keep = np.asarray(info['valid_flag'], bool)
+            boxes, names, vel = boxes[keep], names[keep], vel[keep]
+        # class filter (ObjectNameFilter)
+        labels = np.array([self.class_to_id.get(str(n), -1) for n in names],
+                          np.int64)
+        keep = labels >= 0
+        boxes, vel, labels = boxes[keep], vel[keep], labels[keep]
+        # BEV range filter (ObjectRangeFilter on pc_range)
+        if len(boxes):
+            keep = ((boxes[:, 0] >= self.pc_range[0]) &
+                    (boxes[:, 0] <= self.pc_range[3]) &
+                    (boxes[:, 1] >= self.pc_range[1]) &
+                    (boxes[:, 1] <= self.pc_range[4]))
+            boxes, vel, labels = boxes[keep], vel[keep], labels[keep]
+        # bottom-center z -> gravity center (LiDARInstance3DBoxes convention)
+        out = np.zeros((len(boxes), 9))
+        if len(boxes):
+            out[:, :7] = boxes[:, :7]
+            out[:, 2] = boxes[:, 2] + boxes[:, 5] * 0.5
+            out[:, 7:9] = vel
+        return out, labels
+
+    def __getitem__(self, i: int):
+        frames = super().__getitem__(i)
+        info = self.data_infos[self.usable_index[i]]
+        boxes, labels = self._gt_arrays(info)
+        g = min(len(boxes), self.max_gt)
+        gt = np.zeros((self.max_gt, 9), np.float32)
+        lb = np.zeros((self.max_gt,), np.int32)
+        gt[:g] = boxes[:g]
+        lb[:g] = labels[:g]
+        from .structures import DetBatch
+        return DetBatch(
+            frames=frames,
+            gt_bboxes=jnp.asarray(gt[None]),
+            gt_labels=jnp.asarray(lb[None]),
+            num_valid_gt=jnp.asarray(np.array([g], np.int32)),
+        )

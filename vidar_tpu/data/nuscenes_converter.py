@@ -28,6 +28,48 @@ CAMERAS = ('CAM_FRONT', 'CAM_FRONT_RIGHT', 'CAM_FRONT_LEFT', 'CAM_BACK',
 
 TRAINVAL_SPLIT_SCENES = None  # filled from splits file if provided
 
+# nuScenes raw category -> 10-class detection name (the mmdet3d
+# NuScenesDataset.NameMapping the reference converter applies at
+# data_converter/nuscenes_converter.py:316-320).
+NAME_MAPPING = {
+    'movable_object.barrier': 'barrier',
+    'vehicle.bicycle': 'bicycle',
+    'vehicle.bus.bendy': 'bus',
+    'vehicle.bus.rigid': 'bus',
+    'vehicle.car': 'car',
+    'vehicle.construction': 'construction_vehicle',
+    'vehicle.motorcycle': 'motorcycle',
+    'human.pedestrian.adult': 'pedestrian',
+    'human.pedestrian.child': 'pedestrian',
+    'human.pedestrian.construction_worker': 'pedestrian',
+    'human.pedestrian.police_officer': 'pedestrian',
+    'vehicle.trailer': 'trailer',
+    'vehicle.truck': 'truck',
+    'movable_object.trafficcone': 'traffic_cone',
+}
+
+
+def _quat_yaw(q: np.ndarray) -> float:
+    """Yaw (z rotation) of quaternion [w, x, y, z]."""
+    w, x, y, z = q
+    return float(np.arctan2(2.0 * (w * z + x * y),
+                            1.0 - 2.0 * (y * y + z * z)))
+
+
+def _quat_mul(a, b):
+    w1, x1, y1, z1 = a
+    w2, x2, y2, z2 = b
+    return np.array([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    ])
+
+
+def _quat_inv(q):
+    return np.array([q[0], -q[1], -q[2], -q[3]])
+
 
 def _load_table(root: str, version: str, name: str) -> List[Dict]:
     with open(os.path.join(root, version, f'{name}.json')) as f:
@@ -89,6 +131,44 @@ def create_nuscenes_infos(data_root: str, out_dir: str,
     scenes = _index(_load_table(data_root, version, 'scene'))
 
     canbus = _CanBus(canbus_root or data_root)
+
+    # annotation tables (absent in test versions)
+    is_test = 'test' in version
+    anns_by_sample: Dict[str, List[Dict]] = {}
+    ann_index: Dict[str, Dict] = {}
+    inst_category: Dict[str, str] = {}
+    sample_ts: Dict[str, int] = {s['token']: s['timestamp'] for s in samples}
+    if not is_test:
+        try:
+            annotations = _load_table(data_root, version, 'sample_annotation')
+            instances = _index(_load_table(data_root, version, 'instance'))
+            categories = _index(_load_table(data_root, version, 'category'))
+            ann_index = _index(annotations)
+            for inst_tok, inst in instances.items():
+                inst_category[inst_tok] = categories[
+                    inst['category_token']]['name']
+            for a in annotations:
+                anns_by_sample.setdefault(a['sample_token'], []).append(a)
+        except FileNotFoundError:
+            is_test = True
+
+    def box_velocity(ann: Dict, max_time_diff: float = 1.5) -> np.ndarray:
+        """Global-frame box velocity from neighbouring annotations (the
+        devkit ``box_velocity`` contract the reference converter calls at
+        nuscenes_converter.py:303-304)."""
+        has_prev = bool(ann['prev'])
+        has_next = bool(ann['next'])
+        if not has_prev and not has_next:
+            return np.full(3, np.nan)
+        first = ann_index[ann['prev']] if has_prev else ann
+        last = ann_index[ann['next']] if has_next else ann
+        pos_diff = (np.asarray(last['translation']) -
+                    np.asarray(first['translation']))
+        time_diff = (sample_ts[last['sample_token']] -
+                     sample_ts[first['sample_token']]) / 1e6
+        if time_diff > max_time_diff or time_diff <= 0:
+            return np.full(3, np.nan)
+        return pos_diff / time_diff
 
     # sample_data grouped per sample for keyframes; per-channel chains for
     # sweeps
@@ -188,6 +268,48 @@ def create_nuscenes_infos(data_root: str, out_dir: str,
                 timestamp=sd_cur['timestamp'],
             ))
         info['sweeps'] = sweeps
+
+        # gt annotations in the lidar frame (reference
+        # data_converter/nuscenes_converter.py:294-332, devkit-free)
+        if not is_test:
+            anns = anns_by_sample.get(sample['token'], [])
+            locs, dims, rots, names, vels = [], [], [], [], []
+            nlp, nrp = [], []
+            lq = np.asarray(lcal['rotation'], np.float64)
+            eq = np.asarray(lpose['rotation'], np.float64)
+            for a in anns:
+                # global -> ego -> lidar (what nusc.get_sample_data does)
+                c = np.asarray(a['translation'], np.float64)
+                c = e2g_r.T @ (c - e2g_t)
+                c = l2e_r.T @ (c - l2e_t)
+                q = _quat_mul(_quat_inv(lq),
+                              _quat_mul(_quat_inv(eq),
+                                        np.asarray(a['rotation'],
+                                                   np.float64)))
+                locs.append(c)
+                dims.append(a['size'])  # w, l, h
+                rots.append(_quat_yaw(q))
+                raw = inst_category.get(a['instance_token'], 'unknown')
+                names.append(NAME_MAPPING.get(raw, raw))
+                v = box_velocity(a)[:3]
+                # global velocity -> lidar frame (converter :309-314)
+                v = v @ np.linalg.inv(e2g_r).T @ np.linalg.inv(l2e_r).T
+                vels.append(v[:2])
+                nlp.append(a['num_lidar_pts'])
+                nrp.append(a['num_radar_pts'])
+            n = len(anns)
+            locs = np.asarray(locs, np.float64).reshape(n, 3)
+            dims = np.asarray(dims, np.float64).reshape(n, 3)
+            rots = np.asarray(rots, np.float64).reshape(n, 1)
+            # SECOND yaw convention (converter :322)
+            info['gt_boxes'] = np.concatenate(
+                [locs, dims, -rots - np.pi / 2], axis=1)
+            info['gt_names'] = np.asarray(names)
+            info['gt_velocity'] = np.asarray(vels, np.float64).reshape(n, 2)
+            info['num_lidar_pts'] = np.asarray(nlp, np.int64)
+            info['num_radar_pts'] = np.asarray(nrp, np.int64)
+            info['valid_flag'] = (np.asarray(nlp) + np.asarray(nrp)) > 0
+
         infos.append(info)
 
     # frame_idx within scene

@@ -43,3 +43,14 @@ class ViDARBatch:
     @property
     def num_image_frames(self) -> int:
         return self.images.shape[1]
+
+
+@flax.struct.dataclass
+class DetBatch:
+    """Fine-tune detection sample: the camera-stream ViDAR batch plus
+    statically padded 3D gt boxes (reference CustomNuScenesDataset output,
+    datasets/nuscenes_dataset.py:134-227)."""
+    frames: ViDARBatch
+    gt_bboxes: Array    # [bs, G, 9] (cx cy cz w l h rot vx vy), zero-padded
+    gt_labels: Array    # [bs, G] int32 class ids; padding entries arbitrary
+    num_valid_gt: Array  # [bs] int32

@@ -12,3 +12,5 @@ from .vidar_head import ViDARHead
 from .resnet import ResNet
 from .fpn import FPN
 from .vidar import ViDAR
+from .bevformer import BEVFormer, StreamState
+from .detection import BEVFormerHead

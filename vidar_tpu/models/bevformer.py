@@ -134,6 +134,9 @@ class BEVFormer(nn.Module):
     def loss(self, preds, gt_bboxes, gt_labels, num_valid_gt):
         return self.det_head.loss(preds, gt_bboxes, gt_labels, num_valid_gt)
 
+    def get_bboxes(self, preds):
+        return self.det_head.get_bboxes(preds)
+
     def streaming_test(self, batch: ViDARBatch, state: StreamState):
         """Single-frame streaming eval (video_test_mode)."""
         img_hw = batch.images.shape[3:5]

@@ -43,19 +43,80 @@ def save_submission(pred_dist, frame_idx, sample_idx, out_dir):
                 fh.write(f'{v:f}\n')
 
 
+def det_eval(args, cfg, model, dataset):
+    """Detection eval: streaming forward + NMS-free decode + NDS/mAP
+    (reference §3.3 applied to the fine-tune model; nuScenes protocol via
+    evals/detection.py)."""
+    import jax
+    from ..core.checkpoint import load_checkpoint, import_torch_checkpoint
+    from ..evals.detection import evaluate_detection
+
+    key = jax.random.PRNGKey(0)
+    batch0 = dataset[0]
+    params = model.init({'params': key, 'dropout': key, 'aug': key},
+                        batch0.frames, train=False)
+    if args.checkpoint:
+        if args.checkpoint.endswith('.pth'):
+            params = import_torch_checkpoint(args.checkpoint, params)
+        else:
+            params = load_checkpoint(args.checkpoint,
+                                     jax.eval_shape(lambda: params))
+
+    @jax.jit
+    def eval_fn(params, frames):
+        preds = model.apply(params, frames, train=False)
+        return model.apply(params, preds, method=model.get_bboxes)
+
+    n = min(len(dataset), args.max_samples or len(dataset))
+    predictions, ground_truth = {}, {}
+    class_names = tuple(cfg['data']['test'].get(
+        'classes', ('car', 'truck', 'construction_vehicle', 'bus', 'trailer',
+                    'barrier', 'motorcycle', 'bicycle', 'pedestrian',
+                    'traffic_cone')))
+    for i in range(n):
+        batch = dataset[i]
+        det = eval_fn(params, batch.frames)
+        valid = np.asarray(det['valid'])[0]
+        predictions[f's{i}'] = dict(
+            boxes=np.asarray(det['bboxes'])[0][valid],
+            scores=np.asarray(det['scores'])[0][valid],
+            labels=np.asarray(det['labels'])[0][valid])
+        g = int(batch.num_valid_gt[0])
+        ground_truth[f's{i}'] = dict(
+            boxes=np.asarray(batch.gt_bboxes)[0][:g],
+            labels=np.asarray(batch.gt_labels)[0][:g])
+        if (i + 1) % 10 == 0:
+            print(f'[{i + 1}/{n}]')
+
+    metrics = evaluate_detection(predictions, ground_truth, class_names)
+    for k, v in metrics.items():
+        print(f'{k}: {v:.4f}')
+    if args.out:
+        with open(args.out, 'w') as f:
+            json.dump(metrics, f, indent=2)
+    return metrics
+
+
 def main():
     args = parse_args()
     import jax
+    from ..core import enable_compilation_cache
+    enable_compilation_cache()
     from ..core.config import load_config, apply_overrides
-    from ..models import ViDAR
-    from ..data.nuscenes import NuScenesViDARDataset
+    from ..core.builder import build_model, build_dataset
     from ..evals import forecast_metrics, aggregate_frame_metrics
     from ..evals.forecast_runner import ForecastRunner
     from ..core.checkpoint import load_checkpoint, import_torch_checkpoint
 
     cfg = apply_overrides(load_config(args.config), args.cfg_options)
-    model = ViDAR(**cfg['model'])
-    dataset = NuScenesViDARDataset(**cfg['data']['test'])
+    model = build_model(cfg['model'])
+    dataset = build_dataset(cfg['data']['test'])
+    if cfg['model'].get('type', 'ViDAR') == 'BEVFormer':
+        return det_eval(args, cfg, model, dataset)
+    if cfg['model'].get('_submission'):
+        args.submission = True
+        args.submission_path = cfg['model'].get('_submission_path',
+                                                args.submission_path)
 
     key = jax.random.PRNGKey(0)
     batch0 = dataset[0]

@@ -37,23 +37,26 @@ def parse_args():
 def main():
     args = parse_args()
     import jax
+    from ..core import enable_compilation_cache
+    enable_compilation_cache()
     from ..core.config import load_config, apply_overrides, dump_config
-    from ..models import ViDAR
-    from ..data.nuscenes import NuScenesViDARDataset
+    from ..core.builder import build_model, build_dataset
     from ..parallel import make_mesh, shard_batch, replicated_sharding
-    from ..train import (create_train_state, make_optimizer, make_train_step)
+    from ..train import (create_train_state, make_optimizer, make_train_step,
+                         make_det_train_step)
     from ..core.checkpoint import (save_checkpoint, load_checkpoint,
                                    import_torch_checkpoint)
 
     cfg = apply_overrides(load_config(args.config), args.cfg_options)
-    work_dir = args.work_dir or os.path.join(
+    work_dir = args.work_dir or cfg.get('work_dir') or os.path.join(
         'work_dirs', os.path.splitext(os.path.basename(args.config))[0])
     os.makedirs(work_dir, exist_ok=True)
     with open(os.path.join(work_dir, 'config_dump.txt'), 'w') as f:
         f.write(dump_config(cfg))
 
-    model = ViDAR(**cfg['model'])
-    dataset = NuScenesViDARDataset(**cfg['data']['train'])
+    model = build_model(cfg['model'])
+    model_type = cfg['model'].get('type', 'ViDAR')
+    dataset = build_dataset(cfg['data']['train'])
 
     total_epochs = cfg.get('total_epochs', 24)
     steps_per_epoch = len(dataset)
@@ -61,9 +64,24 @@ def main():
 
     key = jax.random.PRNGKey(args.seed)
     batch0 = dataset[0]
-    params = model.init({'params': key, 'dropout': key}, batch0, train=False)
-    if args.load_from and args.load_from.endswith('.pth'):
-        params = import_torch_checkpoint(args.load_from, params)
+    init_in = batch0.frames if hasattr(batch0, 'frames') else batch0
+    params = model.init({'params': key, 'dropout': key, 'aug': key},
+                        init_in, train=False)
+    load_from = args.load_from or cfg.get('load_from')
+    if load_from:
+        if load_from.endswith('.pth') and os.path.exists(load_from):
+            params = import_torch_checkpoint(load_from, params)
+        elif os.path.isdir(load_from):
+            # orbax checkpoint from a previous stage (pretrain -> finetune):
+            # partial, shape-checked restore (mmcv strict=False contract)
+            from ..core.checkpoint import load_params_partial
+            params, n_ok, n_skip = load_params_partial(load_from, params)
+            print(f'load_from {load_from}: {n_ok} tensors loaded, '
+                  f'{n_skip} kept from init')
+        elif args.load_from:
+            raise FileNotFoundError(load_from)
+        else:
+            print(f'load_from {load_from!r} not found; training from init')
 
     opt_cfg = cfg.get('optimizer', {})
     tx, sched = make_optimizer(
@@ -77,9 +95,13 @@ def main():
 
     mesh = make_mesh()
     state = jax.device_put(state, replicated_sharding(mesh))
-    step_fn = make_train_step(
-        model, mesh=mesh,
-        supervise_all_future=cfg['model'].get('supervise_all_future', True))
+    if model_type in ('BEVFormer',):
+        step_fn = make_det_train_step(model, mesh=mesh)
+    else:
+        step_fn = make_train_step(
+            model, mesh=mesh,
+            supervise_all_future=cfg['model'].get('supervise_all_future',
+                                                  True))
 
     if args.resume_from:
         state = load_checkpoint(args.resume_from, jax.eval_shape(

@@ -1,2 +1,3 @@
 from .optim import make_optimizer, cosine_annealing_schedule
-from .step import TrainState, create_train_state, make_train_step
+from .step import (TrainState, create_train_state, make_train_step,
+                   make_det_train_step, make_eval_step)
