@@ -15,9 +15,11 @@ DATASETS: Dict[str, Callable] = {}
 def _model_registry():
     if MODELS:
         return MODELS
-    from ..models import ViDAR, BEVFormer
+    from ..models import (ViDAR, BEVFormer, BEVFormerFP16, BEVFormerV2)
     from ..uniad import UniAD, UniADTrack
-    MODELS.update(ViDAR=ViDAR, BEVFormer=BEVFormer, UniAD=UniAD,
+    MODELS.update(ViDAR=ViDAR, BEVFormer=BEVFormer,
+                  BEVFormer_fp16=BEVFormerFP16, BEVFormerFP16=BEVFormerFP16,
+                  BEVFormerV2=BEVFormerV2, UniAD=UniAD,
                   UniADTrack=UniADTrack)
     return MODELS
 

@@ -14,3 +14,9 @@ from .fpn import FPN
 from .vidar import ViDAR
 from .bevformer import BEVFormer, StreamState
 from .detection import BEVFormerHead
+from .bevformer import BEVFormerFP16
+from .bevformer_v2 import BEVFormerV2, ResNetFusion
+from .bev_head import BEVHead, Anchor3DHead
+from .internimage import InternImage
+from .vovnet import VoVNet
+from .attention import GroupMultiheadAttention

@@ -379,3 +379,53 @@ class PredictionMSDeformableAttention(nn.Module):
                        name='output_proj')(out.astype(query.dtype))
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return out + identity
+
+
+class GroupMultiheadAttention(nn.Module):
+    """Group-wise multi-head self-attention (reference
+    modules/group_attention.py:18-162, for Group-DETR style training): at
+    train time the query set is split into ``group`` blocks that attend only
+    within their block (implemented by folding groups into the batch dim,
+    group_attention.py:146-157); at eval the full set attends normally.
+    Residual + dropout like the mmcv MultiheadAttention wrapper.
+    """
+    embed_dims: int = 256
+    num_heads: int = 8
+    group: int = 1
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, query, key=None, value=None, identity=None,
+                 query_pos=None, key_pos=None, *, deterministic: bool = True):
+        """query [bs, Q, C]; grouping applies when not deterministic."""
+        if key is None:
+            key = query
+        if value is None:
+            value = key
+        if identity is None:
+            identity = query
+        if key_pos is None and query_pos is not None and \
+                query_pos.shape == key.shape:
+            key_pos = query_pos
+        q = query + query_pos if query_pos is not None else query
+        k = key + key_pos if key_pos is not None else key
+
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=self.embed_dims,
+            dropout_rate=self.attn_drop, dtype=self.dtype, name='attn')
+
+        g = self.group
+        bs, nq, c = q.shape
+        if not deterministic and g > 1 and nq % g == 0:
+            per = nq // g
+            qs = q.reshape(bs, g, per, c).reshape(bs * g, per, c)
+            ks = k.reshape(bs, g, per, c).reshape(bs * g, per, c)
+            vs = value.reshape(bs, g, per, c).reshape(bs * g, per, c)
+            out = attn(qs, ks, vs, deterministic=deterministic)
+            out = out.reshape(bs, g, per, c).reshape(bs, nq, c)
+        else:
+            out = attn(q, k, value, deterministic=deterministic)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return identity + out

@@ -1,0 +1,208 @@
+"""BEVHead: single-frame BEV encoding + dense anchor-based 3D detection
+(registered-but-unused reference component, dense_heads/bev_head.py:28-131 —
+the reference delegates the dense head to mmdet3d's FreeAnchor3DHead).
+
+TPU re-design: ``Anchor3DHead`` is a compact dense head over the BEV map —
+per-cell anchors (sizes x rotations), conv cls/reg/dir branches, focal
+classification with center-based assignment, smooth-L1 box regression and
+direction CE (the FreeAnchor bag-construction is replaced by nearest-anchor
+assignment; these components back no released checkpoint so the simpler
+assigner preserves capability without the bag machinery).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .transformer import BEVEncoderHead
+from ..core import bbox as bbox_core
+
+
+class Anchor3DHead(nn.Module):
+    """Dense anchors on the BEV grid: cls + 7-dof reg (+vel) + dir."""
+    num_classes: int = 10
+    embed_dims: int = 256
+    anchor_sizes: Tuple[Tuple[float, float, float], ...] = (
+        (4.6, 1.95, 1.72),)  # (l, w, h) per anchor type
+    anchor_rotations: Tuple[float, ...] = (0.0, 1.5707963)
+    anchor_z: float = -1.0
+    pc_range: Sequence[float] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    dtype: jnp.dtype | None = None
+
+    @property
+    def num_anchors(self):
+        return len(self.anchor_sizes) * len(self.anchor_rotations)
+
+    def anchors(self, h: int, w: int) -> jnp.ndarray:
+        """[h, w, A, 7] (cx cy cz l w h yaw)."""
+        xs = jnp.linspace(self.pc_range[0], self.pc_range[3], w + 1)[:-1]
+        ys = jnp.linspace(self.pc_range[1], self.pc_range[4], h + 1)[:-1]
+        xs = xs + (xs[1] - xs[0]) / 2
+        ys = ys + (ys[1] - ys[0]) / 2
+        gy, gx = jnp.meshgrid(ys, xs, indexing='ij')
+        cells = jnp.stack([gx, gy], -1)  # [h, w, 2]
+        anchors = []
+        for (l, wd, ht) in self.anchor_sizes:
+            for r in self.anchor_rotations:
+                a = jnp.concatenate([
+                    cells,
+                    jnp.full(cells.shape[:2] + (1,), self.anchor_z),
+                    jnp.full(cells.shape[:2] + (1,), l),
+                    jnp.full(cells.shape[:2] + (1,), wd),
+                    jnp.full(cells.shape[:2] + (1,), ht),
+                    jnp.full(cells.shape[:2] + (1,), r)], -1)
+                anchors.append(a)
+        return jnp.stack(anchors, 2)
+
+    @nn.compact
+    def __call__(self, bev_map):
+        """bev_map [bs, H, W, C] -> (cls [bs,HWA,K], reg [bs,HWA,9],
+        dir [bs,HWA,2])."""
+        a = self.num_anchors
+        x = nn.Conv(self.embed_dims, (3, 3), dtype=self.dtype,
+                    name='shared_conv')(bev_map)
+        x = nn.relu(x)
+        cls = nn.Conv(a * self.num_classes, (1, 1), name='conv_cls')(x)
+        reg = nn.Conv(a * 9, (1, 1), name='conv_reg')(x)
+        dirc = nn.Conv(a * 2, (1, 1), name='conv_dir_cls')(x)
+        bs, h, w, _ = x.shape
+        return (cls.reshape(bs, h * w * a, self.num_classes),
+                reg.reshape(bs, h * w * a, 9),
+                dirc.reshape(bs, h * w * a, 2), (h, w))
+
+    # ------------------------------------------------------------- training
+
+    def loss(self, preds, gt_bboxes, gt_labels, num_valid_gt):
+        """Center-nearest anchor assignment + focal/smooth-L1/dir losses.
+
+        gt_bboxes [bs, G, 9] (cx cy cz w l h yaw vx vy), zero-padded."""
+        cls_logits, reg_preds, dir_logits, (h, w) = preds
+        anchors = self.anchors(h, w).reshape(-1, 7)  # [N, 7]
+        bs, n, k = cls_logits.shape
+        g = gt_bboxes.shape[1]
+
+        def one(cls_l, reg_p, dir_l, gt, labels, nv):
+            valid_gt = jnp.arange(g) < nv
+            # nearest anchor (xy) per gt -> positive
+            d = jnp.linalg.norm(
+                anchors[None, :, :2] - gt[:, None, :2], axis=-1)  # [G, N]
+            d = jnp.where(valid_gt[:, None], d, jnp.inf)
+            pos_anchor = jnp.argmin(d, axis=1)  # [G]
+            # padding gts scatter out-of-bounds (dropped), never clobbering
+            # a real assignment
+            pos_anchor = jnp.where(valid_gt, pos_anchor, n)
+            # build targets
+            tgt_cls = jnp.zeros((n,), jnp.int32) - 1  # -1 = background
+            tgt_cls = tgt_cls.at[pos_anchor].set(
+                jnp.where(valid_gt, labels, -1), mode='drop')
+            onehot = jax.nn.one_hot(tgt_cls, k) * (tgt_cls >= 0)[:, None]
+            # focal
+            p = jax.nn.sigmoid(cls_l)
+            pt = p * onehot + (1 - p) * (1 - onehot)
+            alpha = 0.25 * onehot + 0.75 * (1 - onehot)
+            focal = -alpha * (1 - pt) ** 2 * jnp.log(jnp.clip(pt, 1e-8))
+            loss_cls = focal.sum() / jnp.maximum(nv, 1)
+            # reg: delta encoding vs anchor (cx cy cz l w h yaw vx vy)
+            a_sel = anchors[pos_anchor]
+            diag = jnp.sqrt(a_sel[:, 3] ** 2 + a_sel[:, 4] ** 2)
+            t_xyz = (gt[:, :3] - a_sel[:, :3]) / jnp.maximum(
+                diag, 1e-3)[:, None]
+            # gt dims order (w l h) -> anchor (l w h)
+            t_dim = jnp.log(jnp.clip(
+                gt[:, jnp.array([4, 3, 5])] / a_sel[:, 3:6], 1e-3))
+            t_yaw = (gt[:, 6] - a_sel[:, 6])[:, None]
+            t_vel = gt[:, 7:9]
+            tgt = jnp.concatenate([t_xyz, t_dim, t_yaw, t_vel], -1)
+            pred_sel = reg_p[pos_anchor]
+            diff = jnp.abs(pred_sel - tgt)
+            sl1 = jnp.where(diff < 1.0, 0.5 * diff ** 2, diff - 0.5)
+            loss_reg = (sl1.sum(-1) * valid_gt).sum() / jnp.maximum(nv, 1)
+            # direction (bin yaw into 2)
+            dir_tgt = (gt[:, 6] > 0).astype(jnp.int32)
+            dl = dir_l[pos_anchor]
+            ce = -jax.nn.log_softmax(dl)[jnp.arange(g), dir_tgt]
+            loss_dir = (ce * valid_gt).sum() / jnp.maximum(nv, 1)
+            return loss_cls, loss_reg, loss_dir
+
+        lc, lr, ld = jax.vmap(one)(cls_logits.astype(jnp.float32),
+                                   reg_preds.astype(jnp.float32),
+                                   dir_logits.astype(jnp.float32),
+                                   gt_bboxes, gt_labels, num_valid_gt)
+        return dict(loss_cls=lc.mean(), loss_bbox=lr.mean(),
+                    loss_dir=ld.mean())
+
+    def get_bboxes(self, preds, *, max_num: int = 300):
+        cls_logits, reg_preds, dir_logits, (h, w) = preds
+        anchors = self.anchors(h, w).reshape(-1, 7)
+
+        def one(cls_l, reg_p):
+            scores = jax.nn.sigmoid(cls_l).reshape(-1)
+            k = min(max_num, scores.size)
+            top, idx = jax.lax.top_k(scores, k)
+            labels = idx % self.num_classes
+            aidx = idx // self.num_classes
+            a = anchors[aidx]
+            r = reg_p[aidx]
+            diag = jnp.sqrt(a[:, 3] ** 2 + a[:, 4] ** 2)[:, None]
+            xyz = a[:, :3] + r[:, :3] * diag
+            lwh = a[:, 3:6] * jnp.exp(r[:, 3:6])
+            yaw = a[:, 6:7] + r[:, 6:7]
+            # output (cx cy cz w l h yaw vx vy)
+            boxes = jnp.concatenate(
+                [xyz, lwh[:, jnp.array([1, 0, 2])], yaw, r[:, 7:9]], -1)
+            return dict(bboxes=boxes, scores=top, labels=labels,
+                        valid=jnp.ones_like(top, bool))
+
+        return jax.vmap(one)(cls_logits.astype(jnp.float32),
+                             reg_preds.astype(jnp.float32))
+
+
+class BEVHead(nn.Module):
+    """BEV encoder + dense 3D head (reference bev_head.py:28-116)."""
+    embed_dims: int = 256
+    bev_h: int = 200
+    bev_w: int = 200
+    pc_range: Sequence[float] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    num_cams: int = 6
+    num_classes: int = 10
+    encoder_num_layers: int = 6
+    dtype: jnp.dtype | None = None
+
+    def setup(self):
+        self.bev_encoder = BEVEncoderHead(
+            embed_dims=self.embed_dims, bev_h=self.bev_h, bev_w=self.bev_w,
+            pc_range=self.pc_range, num_cams=self.num_cams,
+            latent_render_lids=(), latent_render_cfg=None,
+            encoder_num_layers=self.encoder_num_layers,
+            dtype=self.dtype, name='transformer')
+        self.pts_bbox_head_3d = Anchor3DHead(
+            num_classes=self.num_classes, embed_dims=self.embed_dims,
+            pc_range=self.pc_range, dtype=self.dtype,
+            name='pts_bbox_head_3d')
+
+    def __call__(self, mlvl_feats, can_bus, lidar2img, img_hw, *,
+                 prev_bev=None, only_bev: bool = False,
+                 deterministic: bool = True):
+        bs = mlvl_feats[0].shape[0]
+        zero_shift = jnp.zeros((bs, 2), jnp.float32)
+        exists = jnp.zeros((bs,), bool) if prev_bev is None else \
+            jnp.ones((bs,), bool)
+        bev = self.bev_encoder(mlvl_feats, can_bus, zero_shift,
+                               jnp.zeros((bs,), jnp.float32), lidar2img,
+                               img_hw, prev_bev, exists,
+                               deterministic=deterministic)
+        if only_bev:
+            return bev
+        bev_map = bev.reshape(bs, self.bev_h, self.bev_w, -1)
+        return dict(pred=self.pts_bbox_head_3d(bev_map), bev_embed=bev)
+
+    def loss(self, ret, gt_bboxes, gt_labels, num_valid_gt):
+        return self.pts_bbox_head_3d.loss(ret['pred'], gt_bboxes, gt_labels,
+                                          num_valid_gt)
+
+    def get_bboxes(self, ret):
+        return self.pts_bbox_head_3d.get_bboxes(ret['pred'])

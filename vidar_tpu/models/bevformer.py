@@ -149,3 +149,11 @@ class BEVFormer(nn.Module):
         new_state = StreamState(prev_bev=bev,
                                 has_prev=jnp.ones_like(state.has_prev))
         return preds, new_state
+
+
+class BEVFormerFP16(BEVFormer):
+    """Half-precision BEVFormer (reference detectors/bevformer_fp16.py:23 —
+    a torch AMP fp16 variant). On TPU the native half type is bfloat16:
+    this subclass defaults the compute dtype to bf16 (fp32 islands inside
+    point_sampling/losses are preserved by the modules themselves)."""
+    dtype: jnp.dtype | None = jnp.bfloat16

@@ -82,3 +82,66 @@ def make_optimizer(params, *, base_lr: float = 2e-4,
             label_fn),
     )
     return tx, sched
+
+
+def layer_decay_lr_mult(path: str, *, depths, decay_rate: float) -> float:
+    """InternImage/Swin layer-wise lr decay (reference
+    backbones/custom_layer_decay_optimizer_constructor.py:18-105):
+    stem/embeddings get layer 0; block j of stage i gets
+    1 + sum(depths[:i]) + j; everything else (head) gets the last layer;
+    multiplier = decay_rate ** (num_layers - layer_id - 1)."""
+    num_layers = sum(depths) + 2
+    layer_id = num_layers - 1
+    if 'patch_embed' in path or 'stem' in path:
+        layer_id = 0
+    elif 'levels_' in path or '/levels/' in path:
+        import re
+        m = re.search(r'levels[_/](\d+).*?blocks[_/](\d+)', path)
+        if m:
+            stage, blk = int(m.group(1)), int(m.group(2))
+            layer_id = 1 + sum(depths[:stage]) + blk
+        else:
+            m = re.search(r'levels[_/](\d+)', path)
+            if m:
+                stage = int(m.group(1))
+                layer_id = 1 + sum(depths[:stage + 1]) - 1
+    return decay_rate ** (num_layers - layer_id - 1)
+
+
+def make_layer_decay_optimizer(params, *, base_lr: float = 2e-4,
+                               weight_decay: float = 0.05,
+                               depths=(4, 4, 18, 4),
+                               decay_rate: float = 0.94,
+                               grad_clip_norm: float = 35.0,
+                               total_steps: int = 100_000,
+                               warmup_iters: int = 500):
+    """AdamW with per-depth lr decay for InternImage-style backbones."""
+    sched = cosine_annealing_schedule(base_lr, total_steps, warmup_iters)
+
+    mults = sorted({round(layer_decay_lr_mult(
+        f'levels_{s}/blocks_{b}', depths=depths, decay_rate=decay_rate), 12)
+        for s in range(len(depths)) for b in range(max(depths))}
+        | {round(decay_rate ** (sum(depths) + 1), 12), 1.0})
+
+    def label_fn(tree):
+        def label(path, _):
+            p = _path_str(path)
+            if 'img_backbone' not in p:
+                return 'm_1.0'
+            m = round(layer_decay_lr_mult(p, depths=depths,
+                                          decay_rate=decay_rate), 12)
+            return f'm_{m}'
+        return jax.tree_util.tree_map_with_path(label, tree)
+
+    def adamw(lr_mult):
+        return optax.chain(
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_learning_rate(lambda s: sched(s) * lr_mult),
+        )
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(grad_clip_norm),
+        optax.multi_transform({f'm_{m}': adamw(m) for m in mults}, label_fn),
+    )
+    return tx, sched
