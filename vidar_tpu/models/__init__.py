@@ -20,3 +20,5 @@ from .bev_head import BEVHead, Anchor3DHead
 from .internimage import InternImage
 from .vovnet import VoVNet
 from .attention import GroupMultiheadAttention
+from .dd3d import (NuScenesDD3D, FCOS2DHead, FCOS3DHead,
+                   boxes3d_corners, predictions_to_boxes3d)
