@@ -97,6 +97,76 @@ def det_eval(args, cfg, model, dataset):
     return metrics
 
 
+def run_val_evaluation(cfg, model, params, max_samples=None):
+    """In-training validation pass (CustomDistEvalHook._do_evaluate
+    equivalent, reference eval_hooks.py:53-90): runs the val split through
+    the matching eval protocol and returns a metrics dict (with a
+    ``key_score`` entry usable for save_best), or None when no val split is
+    configured.
+    """
+    import jax
+    val_cfg = cfg.get('data', {}).get('val') or cfg.get('data', {}).get(
+        'test')
+    if not val_cfg:
+        return None
+    from ..core.builder import build_dataset
+    from ..evals import forecast_metrics, aggregate_frame_metrics
+    from ..evals.forecast_runner import ForecastRunner
+    try:
+        dataset = build_dataset(val_cfg)
+    except (FileNotFoundError, OSError) as e:
+        print(f'eval skipped: val data unavailable ({e})')
+        return None
+    n = min(len(dataset), max_samples or len(dataset))
+    if n == 0:
+        return None
+
+    if cfg['model'].get('type', 'ViDAR') == 'BEVFormer':
+        from ..evals.detection import evaluate_detection
+
+        @jax.jit
+        def eval_fn(params, frames):
+            preds = model.apply(params, frames, train=False)
+            return model.apply(params, preds, method=model.get_bboxes)
+
+        predictions, ground_truth = {}, {}
+        for i in range(n):
+            batch = dataset[i]
+            det = eval_fn(params, batch.frames)
+            valid = np.asarray(det['valid'])[0]
+            predictions[f's{i}'] = dict(
+                boxes=np.asarray(det['bboxes'])[0][valid],
+                scores=np.asarray(det['scores'])[0][valid],
+                labels=np.asarray(det['labels'])[0][valid])
+            g = int(batch.num_valid_gt[0])
+            ground_truth[f's{i}'] = dict(
+                boxes=np.asarray(batch.gt_bboxes)[0][:g],
+                labels=np.asarray(batch.gt_labels)[0][:g])
+        default_classes = ('car', 'truck', 'construction_vehicle', 'bus',
+                           'trailer', 'barrier', 'motorcycle', 'bicycle',
+                           'pedestrian', 'traffic_cone')
+        metrics = evaluate_detection(
+            predictions, ground_truth,
+            tuple(val_cfg.get('classes', default_classes)))
+        metrics['key_score'] = metrics.get('nds', 0.0)
+        return metrics
+
+    batch0 = dataset[0]
+    num_future = cfg['model'].get('test_future_frame_num', 6)
+    runner = ForecastRunner(model, params, batch0.images.shape[3:5],
+                            num_future=num_future)
+    results = []
+    for i in range(n):
+        decode = runner(dataset[i])
+        results.append(forecast_metrics(decode, cfg['model']['pc_range'],
+                                        num_future + 1))
+    agg = aggregate_frame_metrics(results)
+    flat = {f'{fk}.{k}': v for fk, fv in agg.items() for k, v in fv.items()}
+    cds = [v for k, v in flat.items() if k.endswith('chamfer_distance')]
+    flat['key_score'] = -float(np.mean(cds)) if cds else 0.0
+    return flat
+
+
 def main():
     args = parse_args()
     import jax

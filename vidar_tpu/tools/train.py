@@ -109,6 +109,36 @@ def main():
 
     log_interval = cfg.get('log_interval', 50)
     ckpt_interval = cfg.get('checkpoint_interval_steps', steps_per_epoch)
+
+    # evaluation hook (reference CustomDistEvalHook: dynamic intervals +
+    # save_best; cfg key mirrors the reference's `evaluation = dict(...)`)
+    eval_cfg = dict(cfg.get('evaluation') or {})
+    eval_hook = None
+    if eval_cfg:
+        from ..train.eval_hook import EvalHook
+        eval_hook = EvalHook(
+            interval=eval_cfg.get('interval', total_epochs),
+            dynamic_intervals=eval_cfg.get('dynamic_intervals'),
+            start=eval_cfg.get('start'),
+            save_best=eval_cfg.get('save_best'),
+            rule=eval_cfg.get('rule', 'greater'))
+
+    def maybe_evaluate(epoch, state):
+        if eval_hook is None or not eval_hook.should_evaluate(epoch):
+            return
+        from .test import run_val_evaluation
+        metrics = run_val_evaluation(
+            cfg, model, state.params,
+            max_samples=eval_cfg.get('max_samples'))
+        if metrics is None:
+            return
+        print(f'[eval @ epoch {epoch}] ' + json.dumps(
+            {k: round(float(v), 5) for k, v in metrics.items()}))
+        if eval_hook.record(epoch, metrics.get('key_score')):
+            save_checkpoint(os.path.join(work_dir, 'best'), state)
+            print(f'[eval] new best '
+                  f'{eval_hook.save_best}={eval_hook.best_score:.5f}')
+
     rng = np.random.default_rng(args.seed)
     t0 = time.time()
     start = int(state.step)
@@ -125,6 +155,8 @@ def main():
             print(f'[{it + 1}/{total_steps}] ' + json.dumps(m))
         if (it + 1) % ckpt_interval == 0:
             save_checkpoint(os.path.join(work_dir, f'step_{it + 1}'), state)
+        if (it + 1) % steps_per_epoch == 0:
+            maybe_evaluate((it + 1) // steps_per_epoch, state)
     save_checkpoint(os.path.join(work_dir, 'latest'), state)
 
 
