@@ -79,3 +79,15 @@ def test_tsa_queue_fusion():
     out_pair = tsa.apply(params, query, pair, ref_pair, bev_h, bev_w)
     np.testing.assert_allclose(np.asarray(out_none), np.asarray(out_pair),
                                atol=1e-6)
+
+
+def test_stable_partition_matches_argsort():
+    import numpy as np
+    import jax.numpy as jnp
+    from vidar_tpu.models.attention import _stable_partition_indices
+    rng = np.random.default_rng(7)
+    for shape, p in [((2, 6, 400), 0.3), ((1, 3, 64), 0.9), ((4, 33), 0.0)]:
+        vis = rng.random(shape) < p
+        got = np.asarray(_stable_partition_indices(jnp.asarray(vis)))
+        want = np.argsort(~vis, axis=-1, kind='stable')
+        np.testing.assert_array_equal(got, want)

@@ -191,6 +191,29 @@ def _deform_offsets_weights(proj: _DeformProj, query, h: int, lv: int, p: int):
     return offsets, weights
 
 
+def _stable_partition_indices(visible: jnp.ndarray) -> jnp.ndarray:
+    """[..., N] bool -> [..., N] int32 query indices, visible-first, stable.
+
+    Equivalent to ``argsort(~visible, stable=True)`` but O(N): the
+    destination slot of query q is its rank among visible queries (cumsum)
+    when visible, else num_visible + its rank among invisible ones; a single
+    scatter materializes the permutation.
+    """
+    shape = visible.shape
+    n = shape[-1]
+    vis = visible.reshape(-1, n)
+    vi = vis.astype(jnp.int32)
+    rank_vis = jnp.cumsum(vi, axis=-1) - 1
+    rank_inv = jnp.cumsum(1 - vi, axis=-1) - 1
+    n_vis = vi.sum(-1, keepdims=True)
+    dest = jnp.where(vis, rank_vis, n_vis + rank_inv)  # [B, N] unique slots
+    src = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), dest.shape)
+    rows = jnp.arange(dest.shape[0], dtype=jnp.int32)[:, None]
+    out = jnp.zeros_like(src).at[rows, dest].set(
+        src, mode='drop', unique_indices=True)
+    return out.reshape(shape)
+
+
 def _z_anchor_locations(offsets, reference_points_cam, spatial_shapes):
     """Fold per-level-normalised offsets around per-Z-anchor references."""
     bs, num_query, h, lv, p, _ = offsets.shape
@@ -262,14 +285,15 @@ class SpatialCrossAttention(nn.Module):
         cap = (int(num_query * self.capacity_ratio)
                if 0 < self.capacity_ratio < 1 else num_query)
         if cap < num_query:
-            # compact to the visible queries per camera (static capacity):
-            # stable argsort puts visible-query indices first in index order
-            # — the same per-camera rebatching the reference performs
+            # compact to the visible queries per camera (static capacity) —
+            # the same per-camera rebatching the reference performs
             # dynamically (spatial_cross_attention.py:135-166). Only the
             # QUERY rows are gathered; the offset/weight projections run on
             # the compacted set (cheap MXU matmuls instead of giant gathers).
-            order = jnp.argsort(~visible, axis=-1, stable=True)
-            sel = order[:, :, :cap]  # [bs, cams, cap]
+            # The stable visible-first ordering is built with an O(N)
+            # cumsum partition + one scatter (a bitonic argsort of 40k keys
+            # per camera is ~100x more comparator stages on the VPU).
+            sel = _stable_partition_indices(visible)[:, :, :cap]
             sel_valid = jnp.take_along_axis(visible, sel, axis=2)
 
             q_c = jnp.take_along_axis(query[:, None], sel[..., None], axis=2)
