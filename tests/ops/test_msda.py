@@ -50,6 +50,109 @@ def test_msda_matches_torch():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_msda_fused_matches_torch():
+    """Pallas fused kernel (interpret mode on CPU) vs the torch oracle."""
+    rng = np.random.default_rng(3)
+    spatial_shapes = [(12, 20), (6, 10), (3, 5)]
+    b, heads, dim, q, p = 2, 4, 32, 50, 2
+    v_len = sum(h * w for h, w in spatial_shapes)
+    value = rng.standard_normal((b, v_len, heads, dim)).astype(np.float32)
+    loc = rng.uniform(-0.2, 1.2, size=(b, q, heads, 3, p, 2)).astype(np.float32)
+    w = rng.uniform(size=(b, q, heads, 3 * p)).astype(np.float32)
+    w = (w / w.sum(-1, keepdims=True)).reshape(b, q, heads, 3, p)
+
+    got = np.asarray(msdeform_attn(
+        jnp.asarray(value), spatial_shapes, jnp.asarray(loc), jnp.asarray(w),
+        impl='fused'))
+    want = torch_msda_oracle(
+        torch.from_numpy(value), spatial_shapes,
+        torch.from_numpy(loc), torch.from_numpy(w)).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_msda_fused_bf16_packed_table():
+    """bf16 values exercise the uint32 bit-packed table kernel path."""
+    rng = np.random.default_rng(11)
+    spatial_shapes = [(12, 20), (6, 10)]
+    b, heads, dim, q, p = 1, 2, 32, 30, 3
+    v_len = sum(h * w for h, w in spatial_shapes)
+    value = rng.standard_normal((b, v_len, heads, dim)).astype(np.float32)
+    loc = rng.uniform(0.0, 1.0, size=(b, q, heads, 2, p, 2)).astype(np.float32)
+    w = rng.uniform(size=(b, q, heads, 2 * p)).astype(np.float32)
+    w = (w / w.sum(-1, keepdims=True)).reshape(b, q, heads, 2, p)
+
+    v16 = jnp.asarray(value).astype(jnp.bfloat16)
+    got = np.asarray(msdeform_attn(
+        v16, spatial_shapes, jnp.asarray(loc), jnp.asarray(w), impl='fused'))
+    want = np.asarray(msdeform_attn(
+        v16, spatial_shapes, jnp.asarray(loc), jnp.asarray(w), impl='packed'))
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
+
+def test_msda_fused_grad_matches_packed():
+    import jax
+    rng = np.random.default_rng(5)
+    spatial_shapes = [(6, 8), (3, 4)]
+    b, heads, dim, q, p = 1, 2, 32, 9, 2
+    v_len = sum(h * w for h, w in spatial_shapes)
+    value = jnp.asarray(rng.standard_normal(
+        (b, v_len, heads, dim)).astype(np.float32))
+    # includes out-of-range locations (boundary grad semantics must match)
+    loc = jnp.asarray(rng.uniform(-0.15, 1.1, (b, q, heads, 2, p, 2))
+                      .astype(np.float32))
+    w = jnp.asarray(rng.uniform(size=(b, q, heads, 2, p))
+                    .astype(np.float32))
+
+    def loss(impl):
+        return lambda v, l, a: (
+            msdeform_attn(v, spatial_shapes, l, a, impl=impl) ** 2).sum()
+
+    g_fused = jax.grad(loss('fused'), argnums=(0, 1, 2))(value, loc, w)
+    g_packed = jax.grad(loss('packed'), argnums=(0, 1, 2))(value, loc, w)
+    for gf, gp in zip(g_fused, g_packed):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gp),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_msda_fused_column_split(monkeypatch):
+    """Oversized levels are split into packed-column chunks; force the
+    split with a tiny table budget and check fwd+grad parity."""
+    import jax
+    from vidar_tpu.ops import msda_pallas
+    monkeypatch.setattr(msda_pallas, 'TABLE_BUDGET_BYTES', 80_000)
+
+    rng = np.random.default_rng(9)
+    spatial_shapes = [(12, 20), (6, 10)]
+    b, heads, dim, q, p = 1, 2, 32, 11, 3
+    v_len = sum(h * w for h, w in spatial_shapes)
+    value = jnp.asarray(rng.standard_normal(
+        (b, v_len, heads, dim)).astype(np.float32))
+    loc = jnp.asarray(rng.uniform(-0.1, 1.1, (b, q, heads, 2, p, 2))
+                      .astype(np.float32))
+    w = jnp.asarray(rng.uniform(size=(b, q, heads, 2, p))
+                    .astype(np.float32))
+
+    from vidar_tpu.ops.msda import _fused_plan
+    plan = _fused_plan(spatial_shapes)
+    assert sum(len(g) for g in plan) > len(spatial_shapes)  # split happened
+
+    got = np.asarray(msdeform_attn(value, spatial_shapes, loc, w,
+                                   impl='fused'))
+    want = np.asarray(msdeform_attn(value, spatial_shapes, loc, w,
+                                    impl='packed'))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def loss(impl):
+        return lambda v, l, a: (
+            msdeform_attn(v, spatial_shapes, l, a, impl=impl) ** 2).sum()
+
+    g_fused = jax.grad(loss('fused'), argnums=(0, 1, 2))(value, loc, w)
+    g_packed = jax.grad(loss('packed'), argnums=(0, 1, 2))(value, loc, w)
+    for gf, gp in zip(g_fused, g_packed):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gp),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_msda_grad_finite():
     import jax
     spatial_shapes = [(8, 8)]

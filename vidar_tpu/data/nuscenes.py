@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from . import pipeline as pl
 from .geometry import (patch_angle_deg, quat_to_rot, transform_matrix)
 from .structures import ViDARBatch
+from vidar_tpu import native
 
 
 class NuScenesViDARDataset:
@@ -267,9 +268,19 @@ class NuScenesViDARDataset:
                                 l2i)
             if not self.test_mode:
                 imgs = pl.photometric_distortion(imgs, self.rng)
-            imgs = pl.normalize_images(imgs, self.img_norm_mean,
-                                       self.img_norm_std)
-            imgs = pl.pad_images(imgs)
+            if native.available():
+                # fused C++ normalize+pad (GIL-free; see vidar_tpu.native)
+                ch, cw = imgs.shape[1:3]
+                ph = -(-ch // 32) * 32
+                pw = -(-cw // 32) * 32
+                imgs = np.stack([
+                    native.normalize_pad(im, ph, pw, self.img_norm_mean,
+                                         self.img_norm_std)
+                    for im in imgs])
+            else:
+                imgs = pl.normalize_images(imgs, self.img_norm_mean,
+                                           self.img_norm_std)
+                imgs = pl.pad_images(imgs)
             imgs_all.append(imgs)
             lidar2img.append(l2i)
         images = np.stack(imgs_all)  # [T, cams, H, W, 3]
@@ -281,7 +292,9 @@ class NuScenesViDARDataset:
             m = metas[j]
             pts = self._load_frame_points(m['info'])
             if not self.test_mode:
-                pts = pl.voxel_downsample_points(pts, self.pc_range)
+                pts = (native.voxel_downsample_points(pts, self.pc_range)
+                       if native.available()
+                       else pl.voxel_downsample_points(pts, self.pc_range))
             pts_list.append(pts[:, :3])
             tindex_list.append(np.full(len(pts), k, np.int32))
         pts = np.concatenate(pts_list)

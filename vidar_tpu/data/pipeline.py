@@ -105,8 +105,15 @@ def voxel_downsample_points(points: np.ndarray,
 # ------------------------------------------------------------------- images
 
 def load_multiview_images(paths: Sequence[str]) -> np.ndarray:
-    from PIL import Image
-    imgs = [np.asarray(Image.open(p), dtype=np.float32) for p in paths]
+    from vidar_tpu import native
+    imgs = []
+    for p in paths:
+        if native.available() and p.lower().endswith(('.jpg', '.jpeg')):
+            with open(p, 'rb') as f:
+                imgs.append(native.jpeg_decode(f.read()).astype(np.float32))
+        else:
+            from PIL import Image
+            imgs.append(np.asarray(Image.open(p), dtype=np.float32))
     return np.stack(imgs)  # [cams, H, W, 3] RGB
 
 

@@ -9,13 +9,15 @@ with align_corners=False, zero padding) and reduce with the attention weights.
 
 This is THE hot primitive of the whole framework — temporal self-attention,
 spatial cross-attention, and the future decoder all reduce to it. The default
-implementation is a dense XLA gather (4 corner gathers per sample point) with
-fp32 accumulation, which XLA fuses well on TPU; a Pallas VMEM-resident variant
-can be swapped in via ``impl='pallas'`` once shapes warrant it.
+implementation on accelerators is the fused Pallas kernel (``ops.msda_pallas``:
+per-(batch, head) tables VMEM-resident, gather + weighted reduce in one pass);
+XLA gather formulations ('packed'/'atlas'/'plain') remain for the CPU backend,
+for shapes the kernel cannot take, and as the numerical oracle.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence, Tuple
 
 import jax
@@ -220,6 +222,143 @@ def _msda_block_atlas(packed_levels, spatial_shapes, loc, weights):
     return out.reshape(b, qb, heads * dim)
 
 
+def _fused_plan(spatial_shapes):
+    """Plan for the fused kernel: split levels whose packed f32 table
+    exceeds the VMEM budget into packed-COLUMN chunks (each sample belongs
+    to exactly one chunk; the others mask it via aw=0), then group chunks
+    greedily under the budget.
+
+    Returns a list of groups, each a list of entries ``(lvl, col_lo,
+    col_hi)`` over packed columns ``[0, w]``; or None when infeasible (a
+    single column exceeding the budget).
+    """
+    from vidar_tpu.ops.msda_pallas import DIM, TABLE_BUDGET_BYTES
+    row_bytes = 4 * DIM * 4
+    entries = []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        total = (h + 1) * (w + 1) * row_bytes
+        k = -(-total // TABLE_BUDGET_BYTES)
+        if k > w + 1:
+            return None
+        edges = np.linspace(0, w + 1, k + 1).astype(int)
+        for i in range(k):
+            if edges[i + 1] > edges[i]:
+                entries.append((lvl, int(edges[i]), int(edges[i + 1]) - 1))
+    groups, cur, acc = [], [], 0
+    for (lvl, a, bcol) in entries:
+        h, _ = spatial_shapes[lvl]
+        sz = (h + 1) * (bcol - a + 1) * row_bytes
+        if cur and acc + sz > TABLE_BUDGET_BYTES:
+            groups.append(cur)
+            cur, acc = [], 0
+        cur.append((lvl, a, bcol))
+        acc += sz
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def _entry_rows(spatial_shapes, entry):
+    lvl, a, bcol = entry
+    h, _ = spatial_shapes[lvl]
+    return (h + 1) * (bcol - a + 1)
+
+
+def _prep_group(packed_cache, spatial_shapes, loc, weights, entries,
+                q_block):
+    """Host-side layout prep for one fused-kernel invocation.
+
+    packed_cache: lvl -> [B, H, h+1, w+1, 128] f32 packed corner table.
+    Returns (atlas [C, R(+pad), 128], row_idx [C, Qp, S], wx1/wy1/aw
+    [C, Qp, S]) with C = B*heads, S = len(entries) * points.
+    """
+    b, q, heads = loc.shape[:3]
+    tables, rows, wxs, wys, aws = [], [], [], [], []
+    base = 0
+    for (lvl, a, bcol) in entries:
+        h, w = spatial_shapes[lvl]
+        wc = bcol - a + 1
+        pk = packed_cache[lvl][:, :, :, a:bcol + 1]
+        tables.append(pk.reshape(b, heads, (h + 1) * wc, pk.shape[-1]))
+        x = loc[..., lvl, :, 0].astype(jnp.float32) * w - 0.5  # [b,q,hd,p]
+        y = loc[..., lvl, :, 1].astype(jnp.float32) * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        ix0 = x0.astype(jnp.int32)
+        iy0 = y0.astype(jnp.int32)
+        valid = ((iy0 >= -1) & (iy0 <= h - 1) & (ix0 >= -1) & (ix0 <= w - 1))
+        xp = jnp.clip(ix0 + 1, 0, w)
+        in_chunk = (xp >= a) & (xp <= bcol)
+        row = (jnp.clip(iy0 + 1, 0, h) * wc +
+               jnp.clip(xp - a, 0, wc - 1)) + base
+        rows.append(row)
+        wxs.append(x - x0)
+        wys.append(y - y0)
+        aws.append(weights[..., lvl, :].astype(jnp.float32) *
+                   (valid & in_chunk).astype(jnp.float32))
+        base += (h + 1) * wc
+
+    # [b, q, heads, E, p] -> [b*heads, q, E*p] (query-major samples)
+    def to_cqs(xs):
+        v = jnp.stack(xs, axis=3)
+        return v.transpose(0, 2, 1, 3, 4).reshape(b * heads, q, -1)
+
+    row_idx = to_cqs(rows)
+    wx1 = to_cqs(wxs)
+    wy1 = to_cqs(wys)
+    aw = to_cqs(aws)
+
+    pad = (-q) % q_block
+    if pad:
+        row_idx = jnp.pad(row_idx, ((0, 0), (0, pad), (0, 0)))
+        wx1 = jnp.pad(wx1, ((0, 0), (0, pad), (0, 0)))
+        wy1 = jnp.pad(wy1, ((0, 0), (0, pad), (0, 0)))
+        aw = jnp.pad(aw, ((0, 0), (0, pad), (0, 0)))
+    atlas = jnp.concatenate(tables, axis=2)
+    atlas = atlas.reshape(b * heads, atlas.shape[2], atlas.shape[-1])
+    # pad table rows to a sublane multiple: a partial-tile HBM->VMEM DMA
+    # of an odd-row table faults the TPU worker
+    rpad = (-atlas.shape[1]) % 8
+    if rpad:
+        atlas = jnp.pad(atlas, ((0, 0), (0, rpad), (0, 0)))
+    return atlas, row_idx, wx1, wy1, aw
+
+
+def _packed_cache(value_levels, spatial_shapes, needed_lvls):
+    cache = {}
+    for lvl in needed_lvls:
+        h, w = spatial_shapes[lvl]
+        b, _, heads, dim = value_levels[lvl].shape
+        pk = _pack_corners(value_levels[lvl].astype(jnp.float32), h, w)
+        cache[lvl] = pk.reshape(b, heads, h + 1, w + 1, 4 * dim)
+    return cache
+
+
+def _msda_fused_fwd_impl(value_levels, spatial_shapes, loc, weights,
+                         q_block=256):
+    """Fused-kernel forward: one invocation per VMEM-sized table group,
+    partial outputs summed. Mosaic constraints force f32 tables (see
+    msda_pallas module docstring); grouping keeps each table resident."""
+    from vidar_tpu.ops.msda_pallas import msda_gather_fused
+    b, q, heads = loc.shape[:3]
+    groups = _fused_plan(spatial_shapes)
+    assert groups is not None  # caller checked
+    interpret = jax.default_backend() == 'cpu'
+    cache = _packed_cache(value_levels, spatial_shapes,
+                          {e[0] for g in groups for e in g})
+
+    out = None
+    for entries in groups:
+        atlas, row_idx, wx1, wy1, aw = _prep_group(
+            cache, spatial_shapes, loc, weights, entries, q_block)
+        part = msda_gather_fused(atlas, row_idx, wx1, wy1, aw,
+                                 q_block=q_block, interpret=interpret)
+        out = part if out is None else out + part
+    dim = out.shape[-1]
+    out = out[:, :q].reshape(b, heads, q, dim).transpose(0, 2, 1, 3)
+    return out.reshape(b, q, heads * dim)
+
+
 def _msda_block(value_levels, spatial_shapes, loc, weights):
     """One query-block of deformable attention. loc: [B, Qb, H, L, P, 2]."""
     b, qb, heads, num_levels, p, _ = loc.shape
@@ -232,12 +371,140 @@ def _msda_block(value_levels, spatial_shapes, loc, weights):
     return out.reshape(b, qb, heads * dim)
 
 
+def _split_levels(value, spatial_shapes):
+    value_levels = []
+    start = 0
+    for (h, w) in spatial_shapes:
+        value_levels.append(
+            jax.lax.slice_in_dim(value, start, start + h * w, axis=1))
+        start += h * w
+    return value_levels
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _msda_fused(spatial_shapes, value, loc, weights):
+    """Pallas-fwd deformable attention; backward recomputes via the packed
+    XLA formulation (the fwd gather never materializes residuals)."""
+    return _msda_fused_fwd_impl(_split_levels(value, spatial_shapes),
+                                spatial_shapes, loc, weights)
+
+
+def _msda_fused_fwd(spatial_shapes, value, loc, weights):
+    return _msda_fused(spatial_shapes, value, loc, weights), (
+        value, loc, weights)
+
+
+def _unpack_corners_adjoint(dpacked, h, w, b, heads, dim, out_dtype):
+    """Adjoint of ``_pack_corners``: [B, H, (h+1)(w+1), 4d] -> value grads
+    [B, (h*w), H, d]."""
+    dp = dpacked.reshape(b * heads, h + 1, w + 1, 4 * dim)
+    dvp = jnp.zeros((b * heads, h + 2, w + 2, dim), jnp.float32)
+    dvp = dvp.at[:, :-1, :-1].add(dp[..., :dim])
+    dvp = dvp.at[:, :-1, 1:].add(dp[..., dim:2 * dim])
+    dvp = dvp.at[:, 1:, :-1].add(dp[..., 2 * dim:3 * dim])
+    dvp = dvp.at[:, 1:, 1:].add(dp[..., 3 * dim:])
+    dv = dvp[:, 1:-1, 1:-1].reshape(b, heads, h * w, dim)
+    return dv.transpose(0, 2, 1, 3).astype(out_dtype)
+
+
+def _msda_fused_bwd(spatial_shapes, res, g):
+    """Pallas backward: pass 1 (weight/fraction grads) + pass 2 (table
+    scatter), then host-side adjoints back to (value, loc, weights).
+
+    Entries of a split level partition the samples (aw masks the rest), so
+    per-level grads are sums of their entries' contributions.
+    """
+    from vidar_tpu.ops.msda_pallas import msda_gather_fused_bwd
+    value, loc, weights = res
+    b, q, heads, num_levels, p, _ = loc.shape
+    dim = value.shape[-1]
+    q_block = 256
+    qp = q + ((-q) % q_block)
+    groups = _fused_plan(spatial_shapes)
+    interpret = jax.default_backend() == 'cpu'
+    value_levels = _split_levels(value, spatial_shapes)
+    cache = _packed_cache(value_levels, spatial_shapes,
+                          {e[0] for gr in groups for e in gr})
+
+    dout = g.reshape(b, q, heads, dim).transpose(0, 2, 1, 3).reshape(
+        b * heads, q, dim).astype(jnp.float32)
+    if qp != q:
+        dout = jnp.pad(dout, ((0, 0), (0, qp - q), (0, 0)))
+
+    # accumulators: packed-table grads per level, per-level dwx/dwy/daw
+    dpk = {lvl: jnp.zeros(cache[lvl].shape, jnp.float32) for lvl in cache}
+    zeros_q = jnp.zeros((b, q, heads, p), jnp.float32)
+    dwx_l = [zeros_q] * num_levels
+    dwy_l = [zeros_q] * num_levels
+    daw_l = [zeros_q] * num_levels
+
+    for entries in groups:
+        atlas, row_idx, wx1, wy1, aw = _prep_group(
+            cache, spatial_shapes, loc, weights, entries, q_block)
+        datlas, dwx, dwy, daw = msda_gather_fused_bwd(
+            atlas, row_idx, wx1, wy1, aw, dout,
+            q_block=q_block, interpret=interpret)
+
+        ecount = len(entries)
+        # [C, Qp, E*p] -> [b, q, heads, E, p]
+        def to_bqhep(x, ecount=ecount):
+            return x[:, :q].reshape(b, heads, q, ecount, p).transpose(
+                0, 2, 1, 3, 4)
+
+        dwx = to_bqhep(dwx)
+        dwy = to_bqhep(dwy)
+        daw = to_bqhep(daw)
+
+        start = 0
+        for i, (lvl, a, bcol) in enumerate(entries):
+            h, w = spatial_shapes[lvl]
+            wc = bcol - a + 1
+            rows_e = (h + 1) * wc
+            de = datlas[:, start:start + rows_e].reshape(
+                b, heads, h + 1, wc, 4 * dim)
+            dpk[lvl] = dpk[lvl].at[:, :, :, a:bcol + 1].add(de)
+            start += rows_e
+            # dwx/dwy carry the aw factor (zero off-chunk); daw does NOT —
+            # mask it to this entry's chunk (aw_e = weights*valid*in_chunk)
+            ix0 = jnp.floor(loc[..., lvl, :, 0].astype(jnp.float32) * w
+                            - 0.5).astype(jnp.int32)
+            xp = jnp.clip(ix0 + 1, 0, w)
+            in_chunk = ((xp >= a) & (xp <= bcol)).astype(jnp.float32)
+            dwx_l[lvl] = dwx_l[lvl] + dwx[:, :, :, i]
+            dwy_l[lvl] = dwy_l[lvl] + dwy[:, :, :, i]
+            daw_l[lvl] = daw_l[lvl] + daw[:, :, :, i] * in_chunk
+
+    dval_levels, dloc_parts, dw_parts = [], [], []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        dval_levels.append(_unpack_corners_adjoint(
+            dpk[lvl].reshape(b, heads, (h + 1) * (w + 1), 4 * dim),
+            h, w, b, heads, dim, value.dtype))
+        dloc_parts.append(jnp.stack(
+            [dwx_l[lvl] * w, dwy_l[lvl] * h], axis=-1))
+        # aw folded the validity mask; recompute it for the weight chain
+        x = loc[..., lvl, :, 0].astype(jnp.float32) * w - 0.5
+        y = loc[..., lvl, :, 1].astype(jnp.float32) * h - 0.5
+        ix0 = jnp.floor(x).astype(jnp.int32)
+        iy0 = jnp.floor(y).astype(jnp.int32)
+        valid = ((iy0 >= -1) & (iy0 <= h - 1) &
+                 (ix0 >= -1) & (ix0 <= w - 1))
+        dw_parts.append(daw_l[lvl] * valid.astype(jnp.float32))
+
+    dvalue = jnp.concatenate(dval_levels, axis=1)
+    dloc = jnp.stack(dloc_parts, axis=3).astype(loc.dtype)
+    dweights = jnp.stack(dw_parts, axis=3).astype(weights.dtype)
+    return dvalue, dloc, dweights
+
+
+_msda_fused.defvjp(_msda_fused_fwd, _msda_fused_bwd)
+
+
 def msdeform_attn(value: jnp.ndarray,
                   spatial_shapes: Sequence[Tuple[int, int]],
                   sampling_locations: jnp.ndarray,
                   attention_weights: jnp.ndarray,
                   query_chunk: int = 1024,
-                  impl: str = 'packed') -> jnp.ndarray:
+                  impl: str = 'auto') -> jnp.ndarray:
     """Multi-scale deformable attention.
 
     Args:
@@ -248,9 +515,15 @@ def msdeform_attn(value: jnp.ndarray,
       attention_weights: [B, Q, heads, L, P] (already softmaxed over L*P).
       query_chunk: queries processed per scan step — bounds the gather
         temporaries (the gather materialises [B, chunk, H, P, {4}dim]).
-      impl: 'packed' (default; 4 bilinear corners pre-packed into one row —
-        4x fewer gather rows, the TPU gather bound) or 'plain' (4 separate
-        corner gathers, lower memory).
+      impl: 'auto' (default; 'fused' on accelerators, 'packed' on the CPU
+        backend where the Pallas kernel would run interpreted),
+        'packed' (4 bilinear corners pre-packed into one row —
+        4x fewer gather rows, the TPU gather bound), 'atlas' (one flat take
+        over all levels), 'plain' (4 separate corner gathers, lower memory),
+        or 'fused' (Pallas kernel: per-(batch, head) tables VMEM-resident,
+        gather + weighted reduce fused — fastest at production shapes;
+        requires dim=32, falls back to 'packed' otherwise; backward
+        recomputes through the packed path).
 
     Returns:
       [B, Q, heads * dim] fp32.
@@ -261,12 +534,22 @@ def msdeform_attn(value: jnp.ndarray,
     assert sampling_locations.shape[3] == num_levels
     assert sum(h * w for h, w in spatial_shapes) == v_len
 
-    value_levels = []
-    start = 0
-    for (h, w) in spatial_shapes:
-        value_levels.append(
-            jax.lax.slice_in_dim(value, start, start + h * w, axis=1))
-        start += h * w
+    if impl == 'auto':
+        impl = 'packed' if jax.default_backend() == 'cpu' else 'fused'
+    if impl == 'fused':
+        samples = (sampling_locations.shape[3] *
+                   sampling_locations.shape[4])
+        if (dim == 32 and samples >= 16 and
+                _fused_plan(spatial_shapes) is not None):
+            return _msda_fused(tuple(spatial_shapes), value,
+                               sampling_locations, attention_weights)
+        # fused needs 128-lane packed rows, VMEM-splittable tables, and
+        # enough samples/query to amortize the per-tile overhead (measured:
+        # TSA's L*P=4 runs 86 ms fused vs 57 ms atlas); the XLA atlas take
+        # is the best formulation for the small-S cases on accelerators
+        impl = ('packed' if jax.default_backend() == 'cpu' else 'atlas')
+
+    value_levels = _split_levels(value, spatial_shapes)
 
     if impl in ('packed', 'atlas'):
         block = (_msda_block_packed if impl == 'packed'

@@ -54,8 +54,13 @@ def main():
     with open(os.path.join(work_dir, 'config_dump.txt'), 'w') as f:
         f.write(dump_config(cfg))
 
-    model = build_model(cfg['model'])
     model_type = cfg['model'].get('type', 'ViDAR')
+    if model_type == 'ViDAR':
+        # training needs per-layer rematerialization: the fused msda custom
+        # vjp otherwise stores per-layer (value, loc, weights) residuals
+        # (~0.5 GB/layer at flagship shapes)
+        cfg['model'].setdefault('remat', True)
+    model = build_model(cfg['model'])
     dataset = build_dataset(cfg['data']['train'])
 
     total_epochs = cfg.get('total_epochs', 24)
