@@ -1,0 +1,104 @@
+"""Phase-accurate forecast timing with scalar-readback sync.
+
+Measured v5e (2026-08, lane-major fused msda): full 10.1 s -> see
+docs/PERFORMANCE.md for the current breakdown.
+"""
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import time
+import numpy as np
+import jax, jax.numpy as jnp
+jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_cc')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+from vidar_tpu.models import ViDAR
+from vidar_tpu.configs import vidar_base
+from vidar_tpu.data import make_synthetic_batch
+from vidar_tpu.evals.forecast_runner import ForecastRunner
+
+cfg = vidar_base()
+cfg['test_future_frame_num'] = 6
+bs, q, f, cams, ih, iw, pts = 1, 4, 6, 6, 928, 1600, 32768
+model = ViDAR(**cfg, dtype=jnp.bfloat16)
+rng = np.random.default_rng(0)
+batch = make_synthetic_batch(rng, bs=bs, queue_length=q, future_length=f,
+                             num_cams=cams, img_h=ih, img_w=iw,
+                             max_points=pts)
+key = jax.random.PRNGKey(0)
+init_batch = make_synthetic_batch(rng, bs=bs, queue_length=q, future_length=f,
+                                  num_cams=cams, img_h=96, img_w=160,
+                                  max_points=256)
+shapes = jax.eval_shape(lambda: model.init({'params': key, 'dropout': key},
+                                           init_batch, train=False))
+leaves, treedef = jax.tree.flatten(shapes)
+keys = jax.random.split(key, len(leaves))
+params = jax.tree.unflatten(treedef, [
+    jax.random.normal(k, s.shape, s.dtype) * 0.02
+    for k, s in zip(keys, leaves)])
+
+runner = ForecastRunner(model, params, (ih, iw),
+                        num_future=cfg['test_future_frame_num'])
+
+
+def sync(x):
+    leaf = [l for l in jax.tree.leaves(x) if hasattr(l, 'reshape')][0]
+    return float(jnp.asarray(leaf).reshape(-1)[0].astype(jnp.float32))
+
+
+out = runner(batch)   # compile
+sync(out)
+
+# full pass
+t0 = time.perf_counter()
+for _ in range(3):
+    out = runner(batch)
+    sync(out)
+print(f'full forecast: {(time.perf_counter()-t0)/3:.2f} s', flush=True)
+
+# phases
+p = params
+bs_, t_, cams_, h_, w_, _ = batch.images.shape
+prev = jnp.zeros((bs_, model.bev_h * model.bev_w, model.embed_dims),
+                 jnp.float32)
+sync(prev)
+t0 = time.perf_counter()
+feats_keep = None
+for fi in range(t_):
+    imgs = batch.images[:, fi].reshape(bs_ * cams_, h_, w_, 3)
+    feats = runner._backbone(p, imgs)
+    feats_keep = [x.reshape((bs_, cams_) + x.shape[1:]) for x in feats]
+sync(feats_keep[0])
+print(f'5x backbone: {time.perf_counter()-t0:.2f} s', flush=True)
+
+t0 = time.perf_counter()
+for fi in range(t_):
+    prev = runner._encode(p, feats_keep, batch.can_bus[:, fi],
+                          batch.shift[:, fi], batch.rotate_angle[:, fi],
+                          batch.lidar2img[:, fi], prev,
+                          batch.prev_bev_exists[:, fi])
+sync(prev)
+print(f'5x encode: {time.perf_counter()-t0:.2f} s', flush=True)
+
+layers = model.decoder_num_layers
+ref_stack = jnp.broadcast_to(prev[None], (layers,) + prev.shape)
+next_feats = [ref_stack]
+hq = model.history_queue_length
+prev_feats = prev[:, None]
+ref2hist = batch.ref2cur[:, hq][:, None]
+can_dims = runner.can_bus_dims
+t0 = time.perf_counter()
+for fi in range(1, 7):
+    pred, ref2hist = runner._rollout(
+        p, prev_feats, ref2hist, batch.future2ref[:, fi],
+        batch.ref2future[:, fi], batch.future_can_bus[:, fi][:, can_dims])
+    next_feats.append(pred)
+    prev_feats = pred[-1][:, None]
+sync(prev_feats)
+print(f'6x rollout: {time.perf_counter()-t0:.2f} s', flush=True)
+
+stacked = jnp.stack(next_feats, axis=0)
+t0 = time.perf_counter()
+out = runner._decode(p, stacked, batch.gt_points, batch.gt_tindex,
+                     batch.cur2ref, batch.ref2cur)
+sync(out)
+print(f'decode: {time.perf_counter()-t0:.2f} s', flush=True)

@@ -1,11 +1,14 @@
 """TPU benchmark: msdeform_attn impl variants at production shapes.
 
-Measured v5e (2026-08): SCA packed 560 ms / atlas 725 ms / fused 159 ms;
+Measured v5e (2026-08): SCA packed 560 ms / atlas 725 ms / fused 121 ms;
 TSA packed 62 ms / atlas 57 ms / fused 86 ms (small-S overhead — hence the
 auto gating in ops.msda). Timings use chained invocations inside one jit
 with a single scalar readback (the axon tunnel makes per-call
 block_until_ready unreliable).
 """
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 import numpy as np
 import jax

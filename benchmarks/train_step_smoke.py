@@ -3,6 +3,9 @@
 Measured v5e (2026-08): 14.3 s/step at 464x800, queue 2, 1 future with
 remat — 2.4x the 34.7 s/step of the pre-Pallas XLA-gather path.
 """
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 import numpy as np
 import jax, jax.numpy as jnp

@@ -269,8 +269,9 @@ def _prep_group(packed_cache, spatial_shapes, loc, weights, entries,
     """Host-side layout prep for one fused-kernel invocation.
 
     packed_cache: lvl -> [B, H, h+1, w+1, 128] f32 packed corner table.
-    Returns (atlas [C, R(+pad), 128], row_idx [C, Qp, S], wx1/wy1/aw
-    [C, Qp, S]) with C = B*heads, S = len(entries) * points.
+    Returns (atlas [C, R(+pad), 128], row_idx [C, Qp, S], cw4
+    [C, Qp, 4S] (sample-major corner-minor, attention+validity folded),
+    wx1/wy1/aw [C, Qp, S]) with C = B*heads, S = len(entries) * points.
     """
     b, q, heads = loc.shape[:3]
     tables, rows, wxs, wys, aws = [], [], [], [], []
@@ -307,10 +308,17 @@ def _prep_group(packed_cache, spatial_shapes, loc, weights, entries,
     wx1 = to_cqs(wxs)
     wy1 = to_cqs(wys)
     aw = to_cqs(aws)
+    # corner weights, sample-major corner-minor lanes, aw folded
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+    cw4 = jnp.stack([wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1],
+                    axis=-1) * aw[..., None]
+    cw4 = cw4.reshape(cw4.shape[0], cw4.shape[1], -1)
 
     pad = (-q) % q_block
     if pad:
         row_idx = jnp.pad(row_idx, ((0, 0), (0, pad), (0, 0)))
+        cw4 = jnp.pad(cw4, ((0, 0), (0, pad), (0, 0)))
         wx1 = jnp.pad(wx1, ((0, 0), (0, pad), (0, 0)))
         wy1 = jnp.pad(wy1, ((0, 0), (0, pad), (0, 0)))
         aw = jnp.pad(aw, ((0, 0), (0, pad), (0, 0)))
@@ -321,7 +329,7 @@ def _prep_group(packed_cache, spatial_shapes, loc, weights, entries,
     rpad = (-atlas.shape[1]) % 8
     if rpad:
         atlas = jnp.pad(atlas, ((0, 0), (0, rpad), (0, 0)))
-    return atlas, row_idx, wx1, wy1, aw
+    return atlas, row_idx, cw4, wx1, wy1, aw
 
 
 def _packed_cache(value_levels, spatial_shapes, needed_lvls):
@@ -349,9 +357,9 @@ def _msda_fused_fwd_impl(value_levels, spatial_shapes, loc, weights,
 
     out = None
     for entries in groups:
-        atlas, row_idx, wx1, wy1, aw = _prep_group(
+        atlas, row_idx, cw4, _, _, _ = _prep_group(
             cache, spatial_shapes, loc, weights, entries, q_block)
-        part = msda_gather_fused(atlas, row_idx, wx1, wy1, aw,
+        part = msda_gather_fused(atlas, row_idx, cw4,
                                  q_block=q_block, interpret=interpret)
         out = part if out is None else out + part
     dim = out.shape[-1]
@@ -439,10 +447,10 @@ def _msda_fused_bwd(spatial_shapes, res, g):
     daw_l = [zeros_q] * num_levels
 
     for entries in groups:
-        atlas, row_idx, wx1, wy1, aw = _prep_group(
+        atlas, row_idx, cw4, wx1, wy1, aw = _prep_group(
             cache, spatial_shapes, loc, weights, entries, q_block)
         datlas, dwx, dwy, daw = msda_gather_fused_bwd(
-            atlas, row_idx, wx1, wy1, aw, dout,
+            atlas, row_idx, cw4, wx1, wy1, aw, dout,
             q_block=q_block, interpret=interpret)
 
         ecount = len(entries)

@@ -10,23 +10,38 @@ f32 table into a VMEM scratch once, and performs the row gathers as dynamic
 VMEM loads fused with the bilinear/attention-weighted reduction — no gathered
 intermediate ever touches HBM. ``ops.msda`` splits the feature-pyramid levels
 into groups whose packed tables fit the VMEM budget and sums the per-group
-partial outputs (Mosaic constraints force f32 tables: dynamic row slices of
-bf16 (16,128)-tiled buffers and 64-lane DMAs both fail to lower).
+partial outputs.
+
+Everything is laid out LANE-MAJOR to sidestep Mosaic relayout limits: a
+query's gathered samples are concatenated along lanes ([QT, SC*128] tiles),
+per-(sample, corner) weights are expanded across channel lanes with a
+constant 0/1 MXU matmul, and sample/corner reductions are static lane-segment
+adds. Mosaic constraints that shaped this design (each cost a worker crash
+or a failed compile to learn):
+
+* dynamic row slices of bf16 (16,128)-tiled buffers don't lower — tables are
+  f32 (grouped under a ~12.6 MB VMEM budget, oversized levels column-split);
+* dynamic LANE slices must be 128-aligned; sublane slices 8-aligned;
+* sublane<->lane reshapes ((QT,S)->(QT*S,1) etc.) are "unsupported shape
+  cast" — hence the lane-major formulation;
+* HBM->VMEM DMA of a table whose row count is not a sublane multiple faults
+  the TPU worker — atlas rows are padded to 8;
+* MXU matmuls at DEFAULT precision truncate to bf16 (~1e-3 error) — every
+  in-kernel matmul runs at HIGHEST (bf16x3, ~f32-exact).
 
 Layout contract (prepared by ``ops.msda`` when ``impl='fused'``):
 
 - ``atlas``: ``[C, R, 128]`` f32 packed corner tables (zero ring, the
-  group's level tables concatenated along rows), one per (batch, head)
-  pair; rows are ``4*dim`` = 128 lanes (dim 32).
+  group's level tables concatenated along rows; rows padded to 8), one per
+  (batch, head) pair; rows are ``4*dim`` = 128 lanes (dim 32).
 - ``row_idx``: ``[C, Q, S]`` int32 row into the per-C table (group-local
-  level base offsets folded in, clipped in-range), ``S`` = samples in the
-  group (its levels × points).
-- ``wx1/wy1``: ``[C, Q, S]`` f32 bilinear fractions (query-major; the
-  kernel transposes 8-query tiles in-register to put samples in sublanes —
-  dynamic LANE slices must be 128-aligned on TPU, sublane slices only
-  8-aligned).
-- ``aw``: ``[C, Q, S]`` f32 attention weight with the out-of-map validity
-  mask already folded (zero kills the sample).
+  level bases folded in, clipped in-range), ``S`` = the group's samples
+  per query (its levels × points).
+- ``cw4``: ``[C, Q, S*4]`` f32 corner weights, sample-major corner-minor
+  lanes (``[s0c0, s0c1, s0c2, s0c3, s1c0, ...]``), with the attention
+  weight and out-of-map validity folded in (fwd + table-grad backward).
+- ``wx1/wy1/aw``: ``[C, Q, S]`` f32 bilinear fractions and masked attention
+  weight (weight-grad backward).
 
 Reference semantics: mmcv ``ms_deform_attn_forward`` (see ops/msda.py
 docstring; reference projects/mmdet3d_plugin/bevformer/modules/
@@ -44,18 +59,43 @@ from jax.experimental.pallas import tpu as pltpu
 
 DIM = 32          # per-head channel dim; rows are 4*DIM = 128 lanes
 QT = 8            # queries per inner tile
+SC = 8            # samples per lane-chunk ([QT, SC*128] working tiles)
 
 # packed f32 table budget per kernel invocation (VMEM is ~16 MB/core; leave
 # room for the weight/output blocks and double buffering)
 TABLE_BUDGET_BYTES = 12_600_000
 
+_HI = jax.lax.Precision.HIGHEST
 
-def _fused_kernel(idx_ref, wx_ref, wy_ref, aw_ref, atlas_ref, out_ref,
-                  table, sem):
+
+def _chunks(s):
+    return [(s0, min(SC, s - s0)) for s0 in range(0, s, SC)]
+
+
+def _expand_mat(sc):
+    """[4*sc, sc*128] 0/1: lane l of the output belongs to input lane
+    l // DIM — expands per-(sample, corner) weights across channel lanes."""
+    src = jax.lax.broadcasted_iota(jnp.int32, (4 * sc, sc * 4 * DIM), 0)
+    dst = jax.lax.broadcasted_iota(jnp.int32, (4 * sc, sc * 4 * DIM), 1)
+    return (dst // DIM == src).astype(jnp.float32)
+
+
+def _gather_chunk(table, idx_ref, q0, s0, sc):
+    """[QT, sc*128] gathered rows, query-major, samples along lanes."""
+    qrows = []
+    for j in range(QT):
+        samples = [table[pl.ds(idx_ref[0, q0 + j, s0 + k], 1), :]
+                   for k in range(sc)]
+        qrows.append(samples[0] if sc == 1
+                     else jnp.concatenate(samples, axis=1))
+    return jnp.concatenate(qrows, axis=0)
+
+
+def _fused_kernel(idx_ref, cw_ref, atlas_ref, out_ref, table, sem):
     """One (c, q-block) grid step; see module docstring for layouts."""
     c = pl.program_id(0)
     qb = pl.program_id(1)
-    s = wx_ref.shape[2]
+    s = cw_ref.shape[2] // 4
     q_blk = out_ref.shape[1]
 
     # Stage this C's packed table into VMEM once; it stays resident for all
@@ -66,41 +106,22 @@ def _fused_kernel(idx_ref, wx_ref, wy_ref, aw_ref, atlas_ref, out_ref,
         cp.start()
         cp.wait()
 
+    emats = {sc: _expand_mat(sc) for _, sc in _chunks(s)}
+
     def tile(i, _):
         q0 = pl.multiple_of(i * QT, QT)
-        # Gather all QT*S rows with dynamic VMEM loads (~1 row/cycle when
-        # unrolled; this is the kernel's rate limiter by design).
-        rows = []
-        for j in range(QT):
-            for k in range(s):
-                r = idx_ref[0, q0 + j, k]
-                rows.append(table[pl.ds(r, 1), :])
-        g = jnp.concatenate(rows, axis=0)             # [QT*S, 128]
-
-        # weights: sublane slice (8-aligned ok), transpose sample-major
-        wx_t = wx_ref[0, pl.ds(q0, QT), :].T          # [S, QT]
-        wy_t = wy_ref[0, pl.ds(q0, QT), :].T
-        aw_t = aw_ref[0, pl.ds(q0, QT), :].T
-
-        outs = []
-        for j in range(QT):
-            wx1 = wx_t[:, j:j + 1]                    # [S, 1] static slice
-            wy1 = wy_t[:, j:j + 1]
-            aw = aw_t[:, j:j + 1]
-            wx0 = 1.0 - wx1
-            wy0 = 1.0 - wy1
-            # packed-row corner order [v(y,x), v(y,x+1), v(y+1,x), v(y+1,x+1)]
-            w4 = (wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1)
-            w_tile = jnp.concatenate(
-                [jnp.broadcast_to(w * aw, (s, DIM)) for w in w4], axis=1)
-            pj = g[j * s:(j + 1) * s] * w_tile
-            outs.append(jnp.sum(pj, axis=0, keepdims=True))  # [1, 128]
-        r8 = jnp.concatenate(outs, axis=0)            # [QT, 128]
-        # corner fold: exact VPU adds of the 4 lane segments (an MXU
-        # matmul here silently truncates to bf16 — measured ~1e-3 error)
-        out_ref[0, pl.ds(q0, QT), :] = (
-            r8[:, 0:DIM] + r8[:, DIM:2 * DIM] +
-            r8[:, 2 * DIM:3 * DIM] + r8[:, 3 * DIM:4 * DIM])
+        acc = jnp.zeros((QT, DIM), jnp.float32)
+        for (s0, sc) in _chunks(s):
+            g = _gather_chunk(table, idx_ref, q0, s0, sc)  # [QT, sc*128]
+            cw = cw_ref[0, pl.ds(q0, QT), 4 * s0:4 * (s0 + sc)]
+            w_rep = jax.lax.dot_general(
+                cw, emats[sc], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI)
+            p = g * w_rep
+            # sum the 4*sc 32-lane segments (samples AND corners)
+            for b in range(4 * sc):
+                acc = acc + p[:, b * DIM:(b + 1) * DIM]
+        out_ref[0, pl.ds(q0, QT), :] = acc
         return 0
 
     jax.lax.fori_loop(0, q_blk // QT, tile, 0)
@@ -108,9 +129,8 @@ def _fused_kernel(idx_ref, wx_ref, wy_ref, aw_ref, atlas_ref, out_ref,
 
 @functools.partial(jax.jit, static_argnames=('q_block', 'interpret'))
 def msda_gather_fused(atlas: jnp.ndarray, row_idx: jnp.ndarray,
-                      wx1: jnp.ndarray, wy1: jnp.ndarray, aw: jnp.ndarray,
-                      q_block: int = 256, interpret: bool = False
-                      ) -> jnp.ndarray:
+                      cw4: jnp.ndarray, q_block: int = 256,
+                      interpret: bool = False) -> jnp.ndarray:
     """Fused packed-corner gather + bilinear/attention reduce -> [C, Q, DIM].
 
     See the module docstring for the layout contract.
@@ -119,6 +139,7 @@ def msda_gather_fused(atlas: jnp.ndarray, row_idx: jnp.ndarray,
     assert atlas.dtype == jnp.float32 and lanes == 4 * DIM
     _, q, s = row_idx.shape
     assert q % q_block == 0 and q_block % QT == 0
+    assert cw4.shape == (c, q, 4 * s)
 
     return pl.pallas_call(
         _fused_kernel,
@@ -126,11 +147,7 @@ def msda_gather_fused(atlas: jnp.ndarray, row_idx: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, q_block, s), lambda ci, qi: (ci, qi, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, q_block, s), lambda ci, qi: (ci, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, q_block, s), lambda ci, qi: (ci, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, q_block, s), lambda ci, qi: (ci, qi, 0),
+            pl.BlockSpec((1, q_block, 4 * s), lambda ci, qi: (ci, qi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
@@ -142,18 +159,34 @@ def msda_gather_fused(atlas: jnp.ndarray, row_idx: jnp.ndarray,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(row_idx, wx1, wy1, aw, atlas)
+    )(row_idx, cw4, atlas)
+
+
+def _tsel_mat(sc, corner):
+    """[sc*128, sc] 0/1 selecting corner ``corner``: T[l, s] = 1 iff
+    l // 128 == s and (l % 128) // DIM == corner."""
+    l_ids = jax.lax.broadcasted_iota(jnp.int32, (sc * 4 * DIM, sc), 0)
+    s_ids = jax.lax.broadcasted_iota(jnp.int32, (sc * 4 * DIM, sc), 1)
+    return ((l_ids // (4 * DIM) == s_ids) &
+            ((l_ids % (4 * DIM)) // DIM == corner)).astype(jnp.float32)
+
+
+def _dout_rep_mat(sc):
+    """[DIM, sc*128] 0/1 replicating dout channels to every (sample,
+    corner): D[d, l] = 1 iff l % DIM == d."""
+    d_ids = jax.lax.broadcasted_iota(jnp.int32, (DIM, sc * 4 * DIM), 0)
+    l_ids = jax.lax.broadcasted_iota(jnp.int32, (DIM, sc * 4 * DIM), 1)
+    return (l_ids % DIM == d_ids).astype(jnp.float32)
 
 
 def _bwd_weights_kernel(idx_ref, wx_ref, wy_ref, aw_ref, dout_ref, atlas_ref,
                         dwx_ref, dwy_ref, daw_ref, table, sem):
-    """Backward pass 1: fraction/attention-weight grads (value table resident).
+    """Backward pass 1: fraction/attention-weight grads (table resident).
 
-    For sample s of query q with corner values g_c = table[row_s, c*DIM:...]
-    and t_c = <dout_q, g_c>:
-      daw = sum_c w4_c * t_c
-      dwx1 = aw * (-wy0*t0 + wy0*t1 - wy1*t2 + wy1*t3)
-      dwy1 = aw * (-wx0*t0 - wx1*t1 + wx0*t2 + wx1*t3)
+    For sample s of query q with corner values g_c and t_c = <dout_q, g_c>:
+      daw  = sum_c w4_c * t_c
+      dwx1 = aw * (wy0*(t1-t0) + wy1*(t3-t2))
+      dwy1 = aw * (wx0*(t2-t0) + wx1*(t3-t1))
     """
     c = pl.program_id(0)
     qb = pl.program_id(1)
@@ -166,86 +199,85 @@ def _bwd_weights_kernel(idx_ref, wx_ref, wy_ref, aw_ref, dout_ref, atlas_ref,
         cp.start()
         cp.wait()
 
+    dmats = {sc: _dout_rep_mat(sc) for _, sc in _chunks(s)}
+    tmats = {sc: [_tsel_mat(sc, corner) for corner in range(4)]
+             for _, sc in _chunks(s)}
+
     def tile(i, _):
         q0 = pl.multiple_of(i * QT, QT)
-        rows = []
-        for j in range(QT):
-            for k in range(s):
-                r = idx_ref[0, q0 + j, k]
-                rows.append(table[pl.ds(r, 1), :])
-        g = jnp.concatenate(rows, axis=0)             # [QT*S, 128]
-
-        wx_t = wx_ref[0, pl.ds(q0, QT), :].T          # [S, QT]
-        wy_t = wy_ref[0, pl.ds(q0, QT), :].T
-        aw_t = aw_ref[0, pl.ds(q0, QT), :].T
         dout_t = dout_ref[0, pl.ds(q0, QT), :]        # [QT, DIM]
+        t4 = [[], [], [], []]
+        for (s0, sc) in _chunks(s):
+            g = _gather_chunk(table, idx_ref, q0, s0, sc)
+            d_rep = jax.lax.dot_general(
+                dout_t, dmats[sc],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI)
+            m = g * d_rep                             # [QT, sc*128]
+            for corner in range(4):
+                t4[corner].append(jax.lax.dot_general(
+                    m, tmats[sc][corner],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_HI))                   # [QT, sc]
+        t0, t1, t2, t3 = [x[0] if len(x) == 1 else jnp.concatenate(x, axis=1)
+                          for x in t4]                # [QT, S]
 
-        dwx_cols, dwy_cols, daw_cols = [], [], []
-        for j in range(QT):
-            dj = dout_t[j:j + 1, :]                   # [1, DIM]
-            dj4 = jnp.concatenate([dj] * 4, axis=1)   # [1, 4*DIM]
-            m = g[j * s:(j + 1) * s] * jnp.broadcast_to(dj4, (s, 4 * DIM))
-            t0 = jnp.sum(m[:, 0:DIM], axis=1, keepdims=True)       # [S, 1]
-            t1 = jnp.sum(m[:, DIM:2 * DIM], axis=1, keepdims=True)
-            t2 = jnp.sum(m[:, 2 * DIM:3 * DIM], axis=1, keepdims=True)
-            t3 = jnp.sum(m[:, 3 * DIM:], axis=1, keepdims=True)
-            wx1 = wx_t[:, j:j + 1]
-            wy1 = wy_t[:, j:j + 1]
-            aw = aw_t[:, j:j + 1]
-            wx0 = 1.0 - wx1
-            wy0 = 1.0 - wy1
-            daw_cols.append(wy0 * wx0 * t0 + wy0 * wx1 * t1 +
-                            wy1 * wx0 * t2 + wy1 * wx1 * t3)
-            dwx_cols.append(aw * (wy0 * (t1 - t0) + wy1 * (t3 - t2)))
-            dwy_cols.append(aw * (wx0 * (t2 - t0) + wx1 * (t3 - t1)))
-        dwx_ref[0, pl.ds(q0, QT), :] = jnp.concatenate(dwx_cols, axis=1).T
-        dwy_ref[0, pl.ds(q0, QT), :] = jnp.concatenate(dwy_cols, axis=1).T
-        daw_ref[0, pl.ds(q0, QT), :] = jnp.concatenate(daw_cols, axis=1).T
+        wx1 = wx_ref[0, pl.ds(q0, QT), :]             # [QT, S]
+        wy1 = wy_ref[0, pl.ds(q0, QT), :]
+        aw = aw_ref[0, pl.ds(q0, QT), :]
+        wx0 = 1.0 - wx1
+        wy0 = 1.0 - wy1
+        daw_ref[0, pl.ds(q0, QT), :] = (wy0 * wx0 * t0 + wy0 * wx1 * t1 +
+                                        wy1 * wx0 * t2 + wy1 * wx1 * t3)
+        dwx_ref[0, pl.ds(q0, QT), :] = aw * (wy0 * (t1 - t0) +
+                                             wy1 * (t3 - t2))
+        dwy_ref[0, pl.ds(q0, QT), :] = aw * (wx0 * (t2 - t0) +
+                                             wx1 * (t3 - t1))
         return 0
 
     jax.lax.fori_loop(0, q_blk // QT, tile, 0)
 
 
-def _bwd_table_kernel(idx_ref, wx_ref, wy_ref, aw_ref, dout_ref, dtab_ref,
-                      acc, sem):
+def _bwd_table_kernel(idx_ref, cw_ref, dout_ref, dtab_ref, acc, sem):
     """Backward pass 2: table-gradient scatter.
 
-    Row gradient of sample s is the fwd weight tile row times the query's
-    dout: dtable[row_s] += w_tile[s] * tile4(dout_q). Accumulated in a VMEM
-    scratch (sequential, race-free) and DMA'd to HBM after this table's last
-    query block.
+    Row gradient of sample s is its corner-weight lanes times the query's
+    dout: dtable[row_s] += cw4-expanded * dout-replicated. Accumulated in a
+    VMEM scratch (sequential, race-free) and DMA'd to HBM after this
+    table's last query block.
     """
     qb = pl.program_id(1)
     n_qb = pl.num_programs(1)
     c = pl.program_id(0)
-    s = wx_ref.shape[2]
+    s = cw_ref.shape[2] // 4
     q_blk = dout_ref.shape[1]
 
     @pl.when(qb == 0)
     def _():
         acc[...] = jnp.zeros_like(acc)
 
+    emats = {sc: _expand_mat(sc) for _, sc in _chunks(s)}
+    dmats = {sc: _dout_rep_mat(sc) for _, sc in _chunks(s)}
+
     def tile(i, _):
         q0 = pl.multiple_of(i * QT, QT)
-        wx_t = wx_ref[0, pl.ds(q0, QT), :].T          # [S, QT]
-        wy_t = wy_ref[0, pl.ds(q0, QT), :].T
-        aw_t = aw_ref[0, pl.ds(q0, QT), :].T
-        dout_t = dout_ref[0, pl.ds(q0, QT), :]        # [QT, DIM]
-        for j in range(QT):
-            wx1 = wx_t[:, j:j + 1]
-            wy1 = wy_t[:, j:j + 1]
-            aw = aw_t[:, j:j + 1]
-            wx0 = 1.0 - wx1
-            wy0 = 1.0 - wy1
-            w4 = (wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1)
-            w_tile = jnp.concatenate(
-                [jnp.broadcast_to(w * aw, (s, DIM)) for w in w4], axis=1)
-            dj = dout_t[j:j + 1, :]
-            rg = w_tile * jnp.broadcast_to(
-                jnp.concatenate([dj] * 4, axis=1), (s, 4 * DIM))
-            for k in range(s):
-                r = idx_ref[0, q0 + j, k]
-                acc[pl.ds(r, 1), :] = acc[pl.ds(r, 1), :] + rg[k:k + 1]
+        dout_t = dout_ref[0, pl.ds(q0, QT), :]
+        for (s0, sc) in _chunks(s):
+            cw = cw_ref[0, pl.ds(q0, QT), 4 * s0:4 * (s0 + sc)]
+            w_rep = jax.lax.dot_general(
+                cw, emats[sc], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI)
+            d_rep = jax.lax.dot_general(
+                dout_t, dmats[sc],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI)
+            rg = w_rep * d_rep                        # [QT, sc*128]
+            for j in range(QT):
+                for k in range(sc):
+                    r = idx_ref[0, q0 + j, s0 + k]
+                    seg = rg[j:j + 1, k * 4 * DIM:(k + 1) * 4 * DIM]
+                    acc[pl.ds(r, 1), :] = acc[pl.ds(r, 1), :] + seg
         return 0
 
     jax.lax.fori_loop(0, q_blk // QT, tile, 0)
@@ -259,9 +291,10 @@ def _bwd_table_kernel(idx_ref, wx_ref, wy_ref, aw_ref, dout_ref, dtab_ref,
 
 @functools.partial(jax.jit, static_argnames=('q_block', 'interpret'))
 def msda_gather_fused_bwd(atlas: jnp.ndarray, row_idx: jnp.ndarray,
-                          wx1: jnp.ndarray, wy1: jnp.ndarray,
-                          aw: jnp.ndarray, dout: jnp.ndarray,
-                          q_block: int = 256, interpret: bool = False):
+                          cw4: jnp.ndarray, wx1: jnp.ndarray,
+                          wy1: jnp.ndarray, aw: jnp.ndarray,
+                          dout: jnp.ndarray, q_block: int = 256,
+                          interpret: bool = False):
     """Backward of ``msda_gather_fused``.
 
     dout: [C, Q, DIM] f32. Returns (datlas [C, R, 128], dwx1, dwy1, daw
@@ -272,10 +305,12 @@ def msda_gather_fused_bwd(atlas: jnp.ndarray, row_idx: jnp.ndarray,
     _, q, s = row_idx.shape
     assert q % q_block == 0 and q_block % QT == 0
 
-    qspec = pl.BlockSpec((1, q_block, s), lambda ci, qi: (ci, qi, 0),
-                         memory_space=pltpu.VMEM)
     ispec = pl.BlockSpec((1, q_block, s), lambda ci, qi: (ci, qi, 0),
                          memory_space=pltpu.SMEM)
+    qspec = pl.BlockSpec((1, q_block, s), lambda ci, qi: (ci, qi, 0),
+                         memory_space=pltpu.VMEM)
+    cwspec = pl.BlockSpec((1, q_block, 4 * s), lambda ci, qi: (ci, qi, 0),
+                          memory_space=pltpu.VMEM)
     dspec = pl.BlockSpec((1, q_block, DIM), lambda ci, qi: (ci, qi, 0),
                          memory_space=pltpu.VMEM)
 
@@ -294,14 +329,12 @@ def msda_gather_fused_bwd(atlas: jnp.ndarray, row_idx: jnp.ndarray,
     datlas = pl.pallas_call(
         _bwd_table_kernel,
         grid=(c, q // q_block),
-        in_specs=[ispec, qspec, qspec, qspec, dspec],
+        in_specs=[ispec, cwspec, dspec],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((c, r, lanes), jnp.float32),
         scratch_shapes=[pltpu.VMEM((r, lanes), jnp.float32),
                         pltpu.SemaphoreType.DMA],
         interpret=interpret,
-    )(row_idx, wx1, wy1, aw, dout)
+    )(row_idx, cw4, dout)
 
     return datlas, dwx, dwy, daw
-
-
