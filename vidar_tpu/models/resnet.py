@@ -96,18 +96,34 @@ class DeformConv2d(nn.Module):
         sy = (gy[None, :, :, None] + ky + off[..., 0]).reshape(b, -1)
         sx = (gx[None, :, :, None] + kx + off[..., 1]).reshape(b, -1)
 
-        # packed-corner single-row gather (see ops/gather.py)
-        packed = pack_corners_2d(x)  # [b, (h+1)(w+1), 4*C]
-        rows = packed.shape[1]
-        row, cw = bilinear_weights(sx, sy, h, w)  # [b, N], [b, N, 4]
-        offs = (jnp.arange(b, dtype=jnp.int32) * rows)[:, None]
-        g = take_rows(packed.reshape(b * rows, 4 * c_in), row + offs)
-        g = g.reshape(b, ho * wo * k * k, 4, c_in)
-        sampled = jnp.einsum('bncd,bnc->bnd', g.astype(jnp.float32),
-                             cw.astype(jnp.float32))
-        sampled = sampled.reshape(b, ho, wo, k * k, c_in)
-        sampled = sampled * mask.reshape(b, ho, wo, k * k, 1)
-        sampled = sampled.astype(x.dtype)
+        import os
+        from ..ops.dcn_pallas import dcn_sample, dcn_sample_available
+        # Off by default: at bf16 model precision the 2KB-row take path
+        # measures faster (11.4 vs 18.6 ms at stage-3 shapes) because the
+        # Pallas table must be f32 (see ops/dcn_pallas.py). Kept as an
+        # opt-in for f32 models / future bf16-table support.
+        if os.environ.get('VIDAR_TPU_DCN_PALLAS') and \
+                dcn_sample_available(h, w, c_in) and \
+                jax.default_backend() != 'cpu':
+            # fused Pallas tap sampling: whole packed sample fetched as
+            # aligned (8,128) tiles from a VMEM-resident table
+            sampled = dcn_sample(x, sx.reshape(b, ho * wo, k * k),
+                                 sy.reshape(b, ho * wo, k * k),
+                                 mask.reshape(b, ho * wo, k * k))
+            sampled = sampled.reshape(b, ho, wo, k * k, c_in).astype(x.dtype)
+        else:
+            # packed-corner single-row gather (see ops/gather.py)
+            packed = pack_corners_2d(x)  # [b, (h+1)(w+1), 4*C]
+            rows = packed.shape[1]
+            row, cw = bilinear_weights(sx, sy, h, w)  # [b, N], [b, N, 4]
+            offs = (jnp.arange(b, dtype=jnp.int32) * rows)[:, None]
+            g = take_rows(packed.reshape(b * rows, 4 * c_in), row + offs)
+            g = g.reshape(b, ho * wo * k * k, 4, c_in)
+            sampled = jnp.einsum('bncd,bnc->bnd', g.astype(jnp.float32),
+                                 cw.astype(jnp.float32))
+            sampled = sampled.reshape(b, ho, wo, k * k, c_in)
+            sampled = sampled * mask.reshape(b, ho, wo, k * k, 1)
+            sampled = sampled.astype(x.dtype)
 
         kernel = self.param('kernel', _conv_kernel_init,
                             (k * k * c_in, self.features))

@@ -1,0 +1,246 @@
+"""Fused Pallas TPU kernel for modulated deformable-conv (DCNv2) sampling.
+
+DCN needs per-tap sampled values (each 3x3 tap multiplies its own slice of
+the conv kernel), so unlike ``msda_pallas`` there is no sample reduction:
+the kernel gathers each tap's packed-corner row from a VMEM-resident table,
+folds the 4 bilinear corners with the modulation mask, and writes the
+per-tap channel rows out.
+
+The intended win over the XLA ``take`` formulation is the load shape: a
+packed sample (4 corners x c_in channels) is laid out as ``TR =
+4*c_in/128`` consecutive 128-lane rows, so one dynamic slice at a provably
+8-aligned offset fetches the whole sample as full (8, 128) tiles.
+
+Measured v5e at RN101 stage-3 shapes (6x58x100x256): 18.6 ms vs 27.0 ms
+for the f32 take path — but the production model runs bf16, where the take
+path's 2 KB rows measure 11.4 ms, and Mosaic's bf16 dynamic-slice limits
+force this kernel's tables to f32. NOT enabled by default (see
+models/resnet.py); kept for f32 models and as the base for a u32-packed
+bf16 variant (paired-pixel row groups would restore alignment).
+
+Layout contract (prepared by ``models.resnet.DeformConv2d``):
+
+- ``table``: ``[B, Rchunk * TR, 128]`` f32 packed corner rows for one
+  packed-column chunk ((h+1) x chunk-width grid, zero ring; row r of the
+  chunk occupies rows ``[r*TR, (r+1)*TR)``; corner c occupies the RC =
+  c_in/128 rows ``[c*RC, (c+1)*RC)`` of a sample).
+- ``row_idx``: ``[B, Q, S]`` int32 chunk-local packed row per tap (S = 9),
+  clipped in-range.
+- ``cw4``: ``[B, Q, S*4]`` f32 corner weights (sample-major corner-minor)
+  with modulation mask, map validity, and chunk membership folded in.
+
+Output: ``[B, Q * S * RC, 128]`` f32 — reshape to [B, Q, S, c_in] is
+contiguous. Chunk outputs are summed by the caller (each tap is live in
+exactly one chunk).
+
+Reference semantics: mmcv ModulatedDeformConv2d (DCNv2), used by the
+RN101 backbone stages 3-4 (reference projects/configs/vidar_pretrain/
+nusc_1_8_subset/vidar_1_8_nusc_3future.py:97-98).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+QT = 8  # queries (output pixels) per inner tile
+
+
+def _dcn_kernel(idx_ref, cw_ref, table_hbm, out_ref, table, sem):
+    b = pl.program_id(0)
+    qb = pl.program_id(1)
+    s = cw_ref.shape[2] // 4
+    q_blk = idx_ref.shape[1]
+
+    @pl.when(qb == 0)
+    def _():
+        cp = pltpu.make_async_copy(table_hbm.at[b], table, sem)
+        cp.start()
+        cp.wait()
+
+    # rows per packed sample and per corner, from static shapes:
+    # out rows per tile = QT * S * RC; sample load = [4*RC, 128]
+    total_rows = out_ref.shape[1]
+    rc = total_rows // (q_blk * s)
+
+    def tile(i, _):
+        q0 = pl.multiple_of(i * QT, QT)
+        outs = []
+        for j in range(QT):
+            for k in range(s):
+                r = idx_ref[0, q0 + j, k]
+                g = table[pl.ds(pl.multiple_of(r * 4 * rc, 8), 4 * rc), :]
+                w0 = cw_ref[0, q0 + j, 4 * k]
+                w1 = cw_ref[0, q0 + j, 4 * k + 1]
+                w2 = cw_ref[0, q0 + j, 4 * k + 2]
+                w3 = cw_ref[0, q0 + j, 4 * k + 3]
+                folded = (w0 * g[0:rc] + w1 * g[rc:2 * rc] +
+                          w2 * g[2 * rc:3 * rc] + w3 * g[3 * rc:4 * rc])
+                outs.append(folded)                    # [RC, 128]
+        out_tile = jnp.concatenate(outs, axis=0)       # [QT*S*RC, 128]
+        base = pl.multiple_of(i * QT * s * rc, 8)
+        out_ref[0, pl.ds(base, QT * s * rc), :] = out_tile
+        return 0
+
+    jax.lax.fori_loop(0, q_blk // QT, tile, 0)
+
+
+TABLE_BUDGET_BYTES = 12_600_000
+
+
+@functools.partial(jax.jit, static_argnames=('rc', 'q_block', 'interpret'))
+def dcn_gather(table: jnp.ndarray, row_idx: jnp.ndarray, cw4: jnp.ndarray,
+               rc: int, q_block: int = 128, interpret: bool = False
+               ) -> jnp.ndarray:
+    """Gather + corner-fold DCN taps. See the module docstring.
+
+    table: [B, R*4*rc, 128] f32 (rows padded so R*4*rc % 8 == 0 holds by
+    construction since 4*rc is a multiple of 4 and rc >= 2).
+    Returns [B, Q * S * rc, 128] f32.
+    """
+    bsz, rrows, lanes = table.shape
+    assert table.dtype == jnp.float32 and lanes == 128
+    _, q, s = row_idx.shape
+    assert q % q_block == 0 and q_block % QT == 0
+    assert cw4.shape == (bsz, q, 4 * s)
+    assert (4 * rc) % 8 == 0, 'sample rows must be a sublane multiple'
+
+    return pl.pallas_call(
+        _dcn_kernel,
+        grid=(bsz, q // q_block),
+        in_specs=[
+            pl.BlockSpec((1, q_block, s), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, q_block, 4 * s), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, q_block * s * rc, 128),
+                               lambda bi, qi: (bi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, q * s * rc, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((rrows, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(row_idx, cw4, table)
+
+
+def _pack_full(x):
+    """[B, H, W, C] -> [B, H+1, W+1, 4C] packed corner grid (zero ring)."""
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return jnp.concatenate(
+        [xp[:, :-1, :-1], xp[:, :-1, 1:], xp[:, 1:, :-1], xp[:, 1:, 1:]],
+        axis=-1)
+
+
+def _col_chunks(h, w, c):
+    """Packed-column ranges [(a, b)] so each chunk table fits the budget."""
+    per_col = (h + 1) * 4 * c * 4
+    total = per_col * (w + 1)
+    k = max(1, -(-total // TABLE_BUDGET_BYTES))
+    if k > w + 1:
+        return None
+    import numpy as np
+    edges = np.linspace(0, w + 1, k + 1).astype(int)
+    return [(int(edges[i]), int(edges[i + 1]) - 1) for i in range(k)
+            if edges[i + 1] > edges[i]]
+
+
+def _dcn_sample_ref(x, sx, sy, mask):
+    """XLA reference (packed-corner take): [B, Q, S, C] f32 taps."""
+    from vidar_tpu.ops.gather import (bilinear_weights, pack_corners_2d,
+                                      take_rows)
+    b, h, w, c = x.shape
+    _, q, s = sx.shape
+    packed = pack_corners_2d(x.astype(jnp.float32))
+    rows = packed.shape[1]
+    row, cw = bilinear_weights(sx.reshape(b, -1), sy.reshape(b, -1), h, w)
+    offs = (jnp.arange(b, dtype=jnp.int32) * rows)[:, None]
+    g = take_rows(packed.reshape(b * rows, 4 * c), row + offs)
+    g = g.reshape(b, q * s, 4, c)
+    out = jnp.einsum('bncd,bnc->bnd', g, cw.astype(jnp.float32))
+    return out.reshape(b, q, s, c) * mask[..., None]
+
+
+def _dcn_sample_fwd_impl(x, sx, sy, mask, q_block=None):
+    b, h, w, c = x.shape
+    _, q, s = sx.shape
+    rc = c // 128
+    if q_block is None:
+        # bound the out block VMEM (q_block * S * rc * 512B, double-buffered)
+        q_block = max(QT, 128 // max(1, rc // 2))
+    chunks = _col_chunks(h, w, c)
+    interpret = jax.default_backend() == 'cpu'
+    packed = _pack_full(x.astype(jnp.float32))   # [B, H+1, W+1, 4C]
+
+    qp = q + ((-q) % q_block)
+    x_pix = sx.astype(jnp.float32)
+    y_pix = sy.astype(jnp.float32)
+    x0 = jnp.floor(x_pix)
+    y0 = jnp.floor(y_pix)
+    ix0 = x0.astype(jnp.int32)
+    iy0 = y0.astype(jnp.int32)
+    wx1 = x_pix - x0
+    wy1 = y_pix - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+    valid = ((iy0 >= -1) & (iy0 <= h - 1) & (ix0 >= -1) & (ix0 <= w - 1))
+    xp_col = jnp.clip(ix0 + 1, 0, w)
+    yp_row = jnp.clip(iy0 + 1, 0, h)
+
+    out = None
+    for (a, bcol) in chunks:
+        wc = bcol - a + 1
+        tab = packed[:, :, a:bcol + 1, :].reshape(b, (h + 1) * wc * 4 * rc,
+                                                  128)
+        in_chunk = (xp_col >= a) & (xp_col <= bcol)
+        row = yp_row * wc + jnp.clip(xp_col - a, 0, wc - 1)
+        aw = (mask.astype(jnp.float32) *
+              (valid & in_chunk).astype(jnp.float32))
+        cw4 = jnp.stack([wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1],
+                        axis=-1) * aw[..., None]
+        cw4 = cw4.reshape(b, q, 4 * s)
+        row = row.astype(jnp.int32)
+        if qp != q:
+            row = jnp.pad(row, ((0, 0), (0, qp - q), (0, 0)))
+            cw4 = jnp.pad(cw4, ((0, 0), (0, qp - q), (0, 0)))
+        part = dcn_gather(tab, row, cw4, rc=rc, q_block=q_block,
+                          interpret=interpret)
+        out = part if out is None else out + part
+    out = out.reshape(b, qp, s, rc * 128)[:, :q]
+    return out
+
+
+@jax.custom_vjp
+def dcn_sample(x, sx, sy, mask):
+    """Modulated DCN tap sampling: [B,H,W,C], [B,Q,S] coords/mask ->
+    [B, Q, S, C] f32. Pallas forward; backward recomputes through the XLA
+    reference formulation."""
+    return _dcn_sample_fwd_impl(x, sx, sy, mask)
+
+
+def _dcn_sample_vfwd(x, sx, sy, mask):
+    return dcn_sample(x, sx, sy, mask), (x, sx, sy, mask)
+
+
+def _dcn_sample_vbwd(res, g):
+    x, sx, sy, mask = res
+    _, vjp = jax.vjp(_dcn_sample_ref, x, sx, sy, mask)
+    return vjp(g)
+
+
+dcn_sample.defvjp(_dcn_sample_vfwd, _dcn_sample_vbwd)
+
+
+def dcn_sample_available(h, w, c):
+    """Whether the Pallas DCN path can take this shape.
+
+    c must be a multiple of 256 so a packed sample (4*c/128 rows) starts on
+    a sublane boundary."""
+    return (c % 256 == 0 and _col_chunks(h, w, c) is not None)
