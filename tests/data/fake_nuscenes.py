@@ -84,6 +84,9 @@ def make_fake_nuscenes(root: str, *, num_samples: int = 10, num_cams: int = 3,
             names = rng.choice(['car', 'truck', 'pedestrian', 'ignoreme'], g)
             info['gt_boxes'] = boxes
             info['gt_names'] = names
+            # stable per-scene instance identities (agents persist)
+            info['gt_instance_tokens'] = np.asarray(
+                [f'{scene}_inst{k}' for k in range(g)])
             info['gt_velocity'] = rng.uniform(-2, 2, (g, 2))
             info['num_lidar_pts'] = rng.integers(0, 50, g)
             info['num_radar_pts'] = np.zeros(g, np.int64)

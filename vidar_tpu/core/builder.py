@@ -29,6 +29,7 @@ def _dataset_registry():
         return DATASETS
     from ..data.nuscenes import NuScenesViDARDataset, NuScenesDetDataset
     from ..data.nuplan import NuPlanViDARDataset
+    from ..data.uniad_data import UniADDataset
     DATASETS.update(
         NuScenesViDARDatasetV1=NuScenesViDARDataset,
         NuScenesViDARDataset=NuScenesViDARDataset,
@@ -36,6 +37,7 @@ def _dataset_registry():
         NuScenesDetDataset=NuScenesDetDataset,
         NuPlanViDARDatasetV1=NuPlanViDARDataset,
         NuPlanViDARDataset=NuPlanViDARDataset,
+        UniADDataset=UniADDataset,
     )
     return DATASETS
 

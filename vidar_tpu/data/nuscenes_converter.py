@@ -305,6 +305,9 @@ def create_nuscenes_infos(data_root: str, out_dir: str,
             info['gt_boxes'] = np.concatenate(
                 [locs, dims, -rots - np.pi / 2], axis=1)
             info['gt_names'] = np.asarray(names)
+            # instance identity for tracking/motion gt (UniAD training)
+            info['gt_instance_tokens'] = np.asarray(
+                [a['instance_token'] for a in anns])
             info['gt_velocity'] = np.asarray(vels, np.float64).reshape(n, 2)
             info['num_lidar_pts'] = np.asarray(nlp, np.int64)
             info['num_radar_pts'] = np.asarray(nrp, np.int64)

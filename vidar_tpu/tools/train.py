@@ -102,6 +102,11 @@ def main():
     state = jax.device_put(state, replicated_sharding(mesh))
     if model_type in ('BEVFormer',):
         step_fn = make_det_train_step(model, mesh=mesh)
+    elif model_type in ('UniAD',):
+        from ..train import make_uniad_train_step
+        step_fn = make_uniad_train_step(
+            model, mesh=mesh,
+            task_loss_weight=cfg['model'].get('task_loss_weight'))
     else:
         step_fn = make_train_step(
             model, mesh=mesh,

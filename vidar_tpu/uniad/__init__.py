@@ -15,3 +15,4 @@ from .metrics import (IntersectionOverUnion, PanopticMetric, PlanningMetric,
                       MotionMetric)
 from .motion_optimization import MotionNonlinearSmoother, nonlinear_smoother
 from .uniad import UniADTrack, UniAD
+from .loss import UniADTargets, uniad_loss
