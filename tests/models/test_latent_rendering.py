@@ -98,3 +98,71 @@ def test_latent_rendering_matches_torch_oracle():
     np.testing.assert_allclose(got, want, atol=1e-3)
     corr = np.corrcoef(got.reshape(-1), want.reshape(-1))[0, 1]
     assert corr > 0.9999, corr
+
+
+def test_fused_ray_passes_match_xla():
+    """Pallas ray kernels (interpret mode) vs the XLA formulation."""
+    import jax
+    import jax.numpy as jnp
+    from vidar_tpu.models import latent_rendering as lr
+
+    rng = np.random.default_rng(3)
+    bs, h, w, z, g = 1, 10, 12, 4, 6
+    occ = jnp.asarray(rng.normal(size=(bs, h, w, z)).astype(np.float32))
+    grids = jnp.asarray(lr._bev_center_grids(h, w))[None]
+    radial = grids - 0.5
+    rn = jnp.nan_to_num(radial / jnp.sqrt((radial ** 2).sum(-1,
+                                                            keepdims=True)))
+    steps = (jnp.arange(g, dtype=jnp.float32) + 0.5) * (0.5 / (min(h, w)//2))
+
+    for act in ('sigmoid', 'exp'):
+        want = lr._first_hit_xla(occ, grids, rn, steps, act, 4096)
+        got = lr._first_hit_fused_impl(occ, grids, rn, steps, act)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+
+    c_r = z
+    fused_map = jnp.asarray(
+        rng.uniform(0.1, 1.0, (bs, h, w, 2 * c_r)).astype(np.float32))
+    want = lr._aggregate_xla(fused_map, grids, rn, steps, c_r, z, 1e-3,
+                             4096)
+    got = lr._aggregate_fused_impl(fused_map, grids, rn, steps, c_r, z,
+                                   1e-3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fused_ray_passes_column_split(monkeypatch):
+    """Force >1 packed-column chunk; partial products/sums must combine
+    to the same result."""
+    import jax.numpy as jnp
+    from vidar_tpu.models import latent_rendering as lr
+
+    orig = lr._col_chunks
+    monkeypatch.setattr(
+        lr, '_col_chunks', lambda h, w, c, budget=0: orig(h, w, c, 30_000))
+
+    rng = np.random.default_rng(5)
+    bs, h, w, z, g = 1, 10, 12, 4, 6
+    occ = jnp.asarray(rng.normal(size=(bs, h, w, z)).astype(np.float32))
+    grids = jnp.asarray(lr._bev_center_grids(h, w))[None]
+    radial = grids - 0.5
+    rn = jnp.nan_to_num(radial / jnp.sqrt((radial ** 2).sum(-1,
+                                                            keepdims=True)))
+    steps = (jnp.arange(g, dtype=jnp.float32) + 0.5) * (0.5 / (min(h, w)//2))
+    assert len(lr._col_chunks(h, w, 32)) > 1
+
+    want = lr._first_hit_xla(occ, grids, rn, steps, 'sigmoid', 4096)
+    got = lr._first_hit_fused_impl(occ, grids, rn, steps, 'sigmoid')
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+    c_r = z
+    fused_map = jnp.asarray(
+        rng.uniform(0.1, 1.0, (bs, h, w, 2 * c_r)).astype(np.float32))
+    want = lr._aggregate_xla(fused_map, grids, rn, steps, c_r, z, 1e-3,
+                             4096)
+    got = lr._aggregate_fused_impl(fused_map, grids, rn, steps, c_r, z,
+                                   1e-3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)

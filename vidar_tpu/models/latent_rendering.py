@@ -9,9 +9,16 @@ along the ray weighted by those probabilities and re-scale the cell embedding.
 
 Everything is a fixed-size gather (grid_num waypoints per cell) + cumprod —
 fully static, no data-dependent shapes. Channels-last layout.
+
+On accelerators the two ray passes run as fused Pallas kernels
+(``ops.latent_render_pallas``: packed maps VMEM-resident, gather +
+along-ray reduction in one pass); backward recomputes through the XLA
+formulation below. The XLA path remains the CPU/test oracle.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -54,6 +61,272 @@ def _bev_center_grids(h: int, w: int):
     xs = (np.arange(w, dtype=np.float32) + 0.5) / w
     gx, gy = np.meshgrid(xs, ys)  # [H, W]
     return np.stack([gx.reshape(-1), gy.reshape(-1)], -1)
+
+
+def _cell_path(grids, radial_norm, steps):
+    """Radial waypoints + the cell itself: [bs, N, G+1, 2] in [-1, 1]."""
+    way = 0.5 + radial_norm[:, :, None, :] * steps[None, None, :, None]
+    path = jnp.concatenate([way, grids[:, :, None, :]], axis=2)
+    return path * 2.0 - 1.0
+
+
+# --------------------------------------------------------------- pass 1 ---
+
+def _first_hit_xla(occ_pred, grids, radial_norm, steps, act, ray_chunk):
+    """First-hit probability per cell: [bs, N, Z] (the reference's
+    cumprod(1 - p*inside)[..., -1] * p[..., -1])."""
+    bs, n = grids.shape[:2]
+    zdim = occ_pred.shape[-1]
+    g = steps.shape[0]
+
+    def prob_block(grids_c, radial_norm_c):
+        nc = grids_c.shape[1]
+        path_n = _cell_path(grids_c, radial_norm_c, steps)
+        per_prob = grid_sample_2d(
+            occ_pred, path_n.reshape(bs, nc * (g + 1), 2))
+        per_prob = per_prob.reshape(bs, nc, g + 1, zdim)
+        if act == 'exp':
+            per_prob = 1.0 - jnp.exp(-nn.relu(per_prob))
+        else:
+            per_prob = jax.nn.sigmoid(per_prob)
+        path_len = jnp.sqrt((path_n ** 2).sum(-1, keepdims=True))
+        inside = (path_len < path_len[..., -1:, :]).astype(per_prob.dtype)
+        trans = jnp.cumprod(1.0 - per_prob * inside, axis=2)
+        return trans[..., -1, :] * per_prob[..., -1, :]  # [bs, Nc, Z]
+
+    return _scan_cells(prob_block, (grids, radial_norm), n, ray_chunk, bs,
+                       zdim)
+
+
+def _col_chunks(h, w, c, budget=12_600_000):
+    """Packed-column ranges so each chunk's 4c-lane f32 table fits VMEM."""
+    per_col = (h + 1) * 4 * c * 4
+    k = max(1, -(-(per_col * (w + 1)) // budget))
+    edges = np.linspace(0, w + 1, k + 1).astype(int)
+    return [(int(edges[i]), int(edges[i + 1]) - 1) for i in range(k)
+            if edges[i + 1] > edges[i]]
+
+
+def _packed_col_chunk(fm_full, a, wc):
+    """Packed corner table for packed columns [a, a+wc) of a map padded
+    with the zero ring: fm_full [B, H+2, W+2, C] -> [B, (H+1)*wc(+pad8),
+    4C]."""
+    b = fm_full.shape[0]
+    packed = jnp.concatenate(
+        [fm_full[:, :-1, a:a + wc], fm_full[:, :-1, a + 1:a + wc + 1],
+         fm_full[:, 1:, a:a + wc], fm_full[:, 1:, a + 1:a + wc + 1]],
+        axis=-1)
+    packed = packed.reshape(b, -1, packed.shape[-1])
+    rpad = (-packed.shape[1]) % 8
+    if rpad:
+        packed = jnp.pad(packed, ((0, 0), (0, rpad), (0, 0)))
+    return packed
+
+
+def _path_rows(path_n, h, w, col_range=None):
+    """Row indices + corner weights for [-1,1] path points.
+
+    Returns (row [bs, N, S], cw4 [bs, N, 4S]); points outside the map (or
+    outside ``col_range`` of packed columns when splitting) get zero
+    weights."""
+    x = ((path_n[..., 0].astype(jnp.float32) + 1.0) * w - 1.0) * 0.5
+    y = ((path_n[..., 1].astype(jnp.float32) + 1.0) * h - 1.0) * 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    ix0 = x0.astype(jnp.int32)
+    iy0 = y0.astype(jnp.int32)
+    wx1 = x - x0
+    wy1 = y - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+    valid = ((iy0 >= -1) & (iy0 <= h - 1) & (ix0 >= -1) & (ix0 <= w - 1))
+    xp = jnp.clip(ix0 + 1, 0, w)
+    yp = jnp.clip(iy0 + 1, 0, h)
+    if col_range is None:
+        a, bcol, wc = 0, w, w + 1
+        in_chunk = jnp.ones_like(valid)
+    else:
+        a, bcol = col_range
+        wc = bcol - a + 1
+        in_chunk = (xp >= a) & (xp <= bcol)
+        valid = valid & in_chunk
+    row = yp * wc + jnp.clip(xp - a, 0, wc - 1)
+    cw4 = jnp.stack([wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1],
+                    axis=-1) * valid[..., None].astype(jnp.float32)
+    bs, n, s = row.shape
+    return (row.astype(jnp.int32), cw4.reshape(bs, n, 4 * s),
+            in_chunk.astype(jnp.float32))
+
+
+def _pad_q(arrs, n, q_block=256):
+    pad = (-n) % q_block
+    if not pad:
+        return arrs, n
+    return [jnp.pad(a, ((0, 0), (0, pad), (0, 0))) for a in arrs], n + pad
+
+
+def _first_hit_fused_impl(occ_pred, grids, radial_norm, steps, act):
+    """Column-chunked first-hit: each chunk returns [prod | p_last] halves;
+    transmittance products multiply and p_last terms sum across chunks
+    (a waypoint outside the chunk contributes a factor of 1)."""
+    from ..ops.latent_render_pallas import ray_prob_fused
+    bs, h, w, zdim = occ_pred.shape
+    n = grids.shape[1]
+    # 128-lane tables only (Mosaic DMA): pad the height-bin channels to 32
+    zp = 32
+    occ = jnp.pad(occ_pred.astype(jnp.float32),
+                  ((0, 0), (0, 0), (0, 0), (0, zp - zdim)))
+    path_n = _cell_path(grids, radial_norm, steps)       # [bs, N, S, 2]
+    path_len = jnp.sqrt((path_n ** 2).sum(-1))
+    inside = (path_len < path_len[..., -1:]).astype(jnp.float32)
+    occ_full = jnp.pad(occ, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    interpret = jax.default_backend() == 'cpu'
+
+    prod = None
+    p_last = None
+    for (a, bcol) in _col_chunks(h, w, zp):
+        wc = bcol - a + 1
+        table = _packed_col_chunk(occ_full, a, wc)
+        row, cw4, in_chunk = _path_rows(path_n, h, w, col_range=(a, bcol))
+        mask = inside * in_chunk
+        lastm = in_chunk[..., -1:]
+        (row, cw4, mask, lastm), _ = _pad_q([row, cw4, mask, lastm], n)
+        part = ray_prob_fused(table, row, cw4, mask, lastm, act=act,
+                              interpret=interpret)
+        pr, pl_ = part[..., :zp], part[..., zp:]
+        prod = pr if prod is None else prod * pr
+        p_last = pl_ if p_last is None else p_last + pl_
+    return (prod * p_last)[:, :n, :zdim]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _first_hit(occ_pred, grids, radial_norm, steps, act, ray_chunk):
+    return _first_hit_fused_impl(occ_pred, grids, radial_norm, steps, act)
+
+
+def _first_hit_fwd(occ_pred, grids, radial_norm, steps, act, ray_chunk):
+    return (_first_hit(occ_pred, grids, radial_norm, steps, act, ray_chunk),
+            (occ_pred, grids, radial_norm, steps))
+
+
+def _first_hit_bwd(act, ray_chunk, res, g):
+    occ_pred, grids, radial_norm, steps = res
+    _, vjp = jax.vjp(
+        lambda o: _first_hit_xla(o, grids, radial_norm, steps, act,
+                                 ray_chunk), occ_pred)
+    return vjp(g) + (None, None, None)
+
+
+_first_hit.defvjp(_first_hit_fwd, _first_hit_bwd)
+
+
+def ray_first_hit(occ_pred, grids, radial_norm, steps, act, ray_chunk):
+    if jax.default_backend() == 'cpu':
+        return _first_hit_xla(occ_pred, grids, radial_norm, steps, act,
+                              ray_chunk)
+    return _first_hit(occ_pred, grids, radial_norm, steps, act, ray_chunk)
+
+
+# --------------------------------------------------------------- pass 2 ---
+
+def _aggregate_xla(fused_map, grids, radial_norm, steps, c_r, zdim, eps,
+                   ray_chunk):
+    """Prob-weighted ray aggregation: [bs, N, c_r]."""
+    bs, n = grids.shape[:2]
+    g = steps.shape[0]
+    group = c_r // zdim
+
+    def agg_block(grids_c, radial_norm_c):
+        nc = grids_c.shape[1]
+        path_n = _cell_path(grids_c, radial_norm_c, steps)
+        way_n = path_n[:, :, :-1, :]  # [bs, Nc, G, 2]
+        fused = grid_sample_2d(fused_map, way_n.reshape(bs, nc * g, 2))
+        fused = fused.reshape(bs, nc, g, -1)
+        feat_way = fused[..., :c_r]
+        prob_way = fused[..., c_r:]
+        boundary = jnp.minimum(1.0 / jnp.abs(radial_norm_c[..., 0:1]),
+                               1.0 / jnp.abs(radial_norm_c[..., 1:2]))
+        way_len = jnp.sqrt((way_n ** 2).sum(-1))
+        way_valid = (way_len < boundary).astype(jnp.float32)
+        prob_way = prob_way * way_valid[..., None]
+        prob_way = prob_way / (prob_way.sum(axis=2, keepdims=True) + eps)
+        # LoRA channels split into pred_height groups; group z weighted by
+        # height-bin z's ray prob (reference latent_rendering.py:148-151
+        # via the view(bs, pred_height, -1, N, G) aliasing).
+        feat_g = feat_way.reshape(bs, nc, g, zdim, group)
+        ray_feat = (feat_g * prob_way[..., None]).sum(axis=2)
+        return ray_feat.reshape(bs, nc, c_r)
+
+    return _scan_cells(agg_block, (grids, radial_norm), n, ray_chunk, bs,
+                       c_r)
+
+
+def _aggregate_fused_impl(fused_map, grids, radial_norm, steps, c_r, zdim,
+                          eps):
+    from ..ops.latent_render_pallas import ray_agg_fused
+    bs, h, w, _ = fused_map.shape
+    n = grids.shape[1]
+    path_n = _cell_path(grids, radial_norm, steps)
+    way_n = path_n[:, :, :-1, :]   # waypoints only, not the cell itself
+    boundary = jnp.minimum(1.0 / jnp.abs(radial_norm[..., 0:1]),
+                           1.0 / jnp.abs(radial_norm[..., 1:2]))
+    way_len = jnp.sqrt((way_n ** 2).sum(-1))
+    way_valid = (way_len < boundary).astype(jnp.float32)   # [bs, N, G]
+
+    fm = fused_map.astype(jnp.float32)
+    fm_full = jnp.pad(fm, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out = None
+    for (a, bcol) in _col_chunks(h, w, 2 * c_r):
+        wc = bcol - a + 1
+        packed = _packed_col_chunk(fm_full, a, wc)
+        row, cw4, _ = _path_rows(way_n, h, w, col_range=(a, bcol))
+        # validity folds into the corner weights: an invalid waypoint
+        # contributes zero to both the numerator and the denominator
+        cw4 = cw4 * jnp.repeat(way_valid, 4, axis=-1)
+        (row, cw4), npad = _pad_q([row, cw4], n)
+        part = ray_agg_fused(packed, row, cw4,
+                             interpret=jax.default_backend() == 'cpu')
+        out = part if out is None else out + part
+    num = out[:, :n, :c_r]
+    den = out[:, :n, c_r:]
+    return num / (den + eps)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _aggregate(fused_map, grids, radial_norm, steps, c_r, zdim, eps,
+               ray_chunk):
+    return _aggregate_fused_impl(fused_map, grids, radial_norm, steps, c_r,
+                                 zdim, eps)
+
+
+def _aggregate_fwd(fused_map, grids, radial_norm, steps, c_r, zdim, eps,
+                   ray_chunk):
+    return (_aggregate(fused_map, grids, radial_norm, steps, c_r, zdim,
+                       eps, ray_chunk),
+            (fused_map, grids, radial_norm, steps))
+
+
+def _aggregate_bwd(c_r, zdim, eps, ray_chunk, res, g):
+    fused_map, grids, radial_norm, steps = res
+    _, vjp = jax.vjp(
+        lambda f: _aggregate_xla(f, grids, radial_norm, steps, c_r, zdim,
+                                 eps, ray_chunk), fused_map)
+    return vjp(g) + (None, None, None)
+
+
+_aggregate.defvjp(_aggregate_fwd, _aggregate_bwd)
+
+
+def ray_aggregate(fused_map, grids, radial_norm, steps, c_r, zdim, eps,
+                  ray_chunk):
+    group = c_r // zdim
+    if jax.default_backend() == 'cpu' or group != 1:
+        # the fused kernel assumes feat/prob channel parity (group == 1,
+        # true for every released config)
+        return _aggregate_xla(fused_map, grids, radial_norm, steps, c_r,
+                              zdim, eps, ray_chunk)
+    return _aggregate(fused_map, grids, radial_norm, steps, c_r, zdim, eps,
+                      ray_chunk)
 
 
 class LatentRendering(nn.Module):
@@ -102,33 +375,12 @@ class LatentRendering(nn.Module):
             raise NotImplementedError(act)
         zdim = self.pred_height
 
-        def cell_path(grids_c, radial_norm_c):
-            """Waypoint path for a chunk of cells: [bs, Nc, G+1, 2] in [-1,1]."""
-            way = 0.5 + radial_norm_c[:, :, None, :] * \
-                steps[None, None, :, None]
-            path = jnp.concatenate([way, grids_c[:, :, None, :]], axis=2)
-            return path * 2.0 - 1.0
+        # ---- pass 1: per-cell first-hit probability ----
+        occ_path_prob = ray_first_hit(
+            occ_pred.astype(jnp.float32), grids, radial_norm, steps, act,
+            self.ray_chunk)
 
-        # ---- pass 1 (chunked): per-cell first-hit probability --------------
-        def prob_block(grids_c, radial_norm_c):
-            nc = grids_c.shape[1]
-            path_n = cell_path(grids_c, radial_norm_c)
-            per_prob = grid_sample_2d(
-                occ_pred, path_n.reshape(bs, nc * (g + 1), 2))
-            per_prob = per_prob.reshape(bs, nc, g + 1, zdim)
-            if act == 'exp':
-                per_prob = 1.0 - jnp.exp(-nn.relu(per_prob))
-            else:
-                per_prob = jax.nn.sigmoid(per_prob)
-            path_len = jnp.sqrt((path_n ** 2).sum(-1, keepdims=True))
-            inside = (path_len < path_len[..., -1:, :]).astype(per_prob.dtype)
-            trans = jnp.cumprod(1.0 - per_prob * inside, axis=2)
-            return trans[..., -1, :] * per_prob[..., -1, :]  # [bs, Nc, Z]
-
-        occ_path_prob = _scan_cells(prob_block, (grids, radial_norm),
-                                    n, self.ray_chunk, bs, zdim)
-
-        # ---- pass 2 (chunked): ray-feature aggregation in LoRA space ------
+        # ---- pass 2: ray-feature aggregation in LoRA space ----
         # The LoRA features and the first-hit prob map are sampled at the
         # SAME waypoints — fused into one packed gather.
         lora_a = TorchLinear(self.embed_dims // self.reduction,
@@ -137,31 +389,9 @@ class LatentRendering(nn.Module):
         prob_map = occ_path_prob.reshape(bs, bev_h, bev_w, zdim)
         fused_map = jnp.concatenate(
             [lora_a.astype(jnp.float32), prob_map], axis=-1)
-        group = c_r // zdim  # 1 in the released configs
 
-        def agg_block(grids_c, radial_norm_c):
-            nc = grids_c.shape[1]
-            path_n = cell_path(grids_c, radial_norm_c)
-            way_n = path_n[:, :, :-1, :]  # [bs, Nc, G, 2]
-            fused = grid_sample_2d(fused_map, way_n.reshape(bs, nc * g, 2))
-            fused = fused.reshape(bs, nc, g, -1)
-            feat_way = fused[..., :c_r]
-            prob_way = fused[..., c_r:]
-            boundary = jnp.minimum(1.0 / jnp.abs(radial_norm_c[..., 0:1]),
-                                   1.0 / jnp.abs(radial_norm_c[..., 1:2]))
-            way_len = jnp.sqrt((way_n ** 2).sum(-1))
-            way_valid = (way_len < boundary).astype(jnp.float32)
-            prob_way = prob_way * way_valid[..., None]
-            prob_way = prob_way / (prob_way.sum(axis=2, keepdims=True) + eps)
-            # LoRA channels split into pred_height groups; group z weighted by
-            # height-bin z's ray prob (reference latent_rendering.py:148-151
-            # via the view(bs, pred_height, -1, N, G) aliasing).
-            feat_g = feat_way.reshape(bs, nc, g, zdim, group)
-            ray_feat = (feat_g * prob_way[..., None]).sum(axis=2)
-            return ray_feat.reshape(bs, nc, c_r)
-
-        ray_feat = _scan_cells(agg_block, (grids, radial_norm),
-                               n, self.ray_chunk, bs, c_r)
+        ray_feat = ray_aggregate(fused_map, grids, radial_norm, steps, c_r,
+                                 zdim, eps, self.ray_chunk)
 
         up = TorchLinear(self.embed_dims, dtype=self.dtype,
                          name='lora_b')(ray_feat)  # [bs, N, C]
