@@ -1,0 +1,44 @@
+"""End-to-end CLI smoke: the real train/test entry points on a fake
+on-disk nuScenes dataset with the tiny config."""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def _run(args, cwd, extra_env=None):
+    env = dict(os.environ, JAX_PLATFORMS='cpu',
+               XLA_FLAGS='--xla_force_host_platform_device_count=1',
+               PYTHONPATH=REPO)
+    if extra_env:
+        env.update(extra_env)
+    return subprocess.run([sys.executable, '-m'] + args, cwd=cwd, env=env,
+                          capture_output=True, text=True, timeout=1200)
+
+
+def test_train_and_eval_cli(tmp_path):
+    from tests.data.fake_nuscenes import make_fake_nuscenes
+    pkl = make_fake_nuscenes(str(tmp_path / 'data'), num_samples=6,
+                             num_cams=3, img_hw=(64, 96))
+    cfg = os.path.join(REPO, 'configs', 'tiny', 'vidar_tiny.py')
+    work = str(tmp_path / 'work')
+
+    r = _run(['vidar_tpu.tools.train', cfg, '--work-dir', work,
+              '--max-steps', '2',
+              '--cfg-options', f'data.train.ann_file={pkl}',
+              f'data.test.ann_file={pkl}'], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.isdir(os.path.join(work, 'latest')), r.stdout[-2000:]
+    assert '"loss"' in r.stdout
+
+    r = _run(['vidar_tpu.tools.test', cfg,
+              os.path.join(work, 'latest'),
+              '--max-samples', '1',
+              '--cfg-options', f'data.test.ann_file={pkl}',
+              f'data.train.ann_file={pkl}'], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert 'chamfer' in r.stdout.lower() or 'frame' in r.stdout.lower(), \
+        r.stdout[-2000:]

@@ -59,8 +59,13 @@ def det_eval(args, cfg, model, dataset):
         if args.checkpoint.endswith('.pth'):
             params = import_torch_checkpoint(args.checkpoint, params)
         else:
-            params = load_checkpoint(args.checkpoint,
-                                     jax.eval_shape(lambda: params))
+            # training checkpoints are full TrainStates; restore the param
+            # subtree tolerantly (shape-checked, strict=False contract)
+            from ..core.checkpoint import load_params_partial
+            params, n_ok, n_skip = load_params_partial(args.checkpoint,
+                                                       params)
+            print(f'checkpoint {args.checkpoint}: {n_ok} tensors loaded, '
+                  f'{n_skip} kept from init')
 
     @jax.jit
     def eval_fn(params, frames):
@@ -195,8 +200,13 @@ def main():
         if args.checkpoint.endswith('.pth'):
             params = import_torch_checkpoint(args.checkpoint, params)
         else:
-            params = load_checkpoint(args.checkpoint,
-                                     jax.eval_shape(lambda: params))
+            # training checkpoints are full TrainStates; restore the param
+            # subtree tolerantly (shape-checked, strict=False contract)
+            from ..core.checkpoint import load_params_partial
+            params, n_ok, n_skip = load_params_partial(args.checkpoint,
+                                                       params)
+            print(f'checkpoint {args.checkpoint}: {n_ok} tensors loaded, '
+                  f'{n_skip} kept from init')
 
     num_future = cfg['model'].get('test_future_frame_num', 6)
     eval_fn = ForecastRunner(model, params, batch0.images.shape[3:5],
