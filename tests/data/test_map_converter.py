@@ -43,8 +43,10 @@ def test_map_elements_and_boxes(tmp_path):
     assert len(els['boundary']) == 1
 
     g2l = np.eye(4)  # ego at origin
-    boxes, labels = sample_map_boxes(
+    boxes, labels, polylines = sample_map_boxes(
         els, g2l, (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0))
+    assert len(polylines) == len(boxes)
+    assert all(p.shape[1] == 2 and len(p) <= 64 for p in polylines)
     assert set(labels.tolist()) == {0, 1, 2}
     assert ((boxes >= 0) & (boxes <= 1)).all()
     # the crossing is a 3x3 box around (6.5, 6.5)

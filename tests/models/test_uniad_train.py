@@ -45,6 +45,9 @@ def _tiny_targets(rng, g=6, gm=4, t_m=4, tp=6, to_=2, hw=(8, 8)):
         gt_occ=jnp.asarray(
             (rng.uniform(size=(1, g, to_, hh, ww)) > 0.7)
             .astype(np.float32)),
+        map_masks=jnp.asarray(
+            (rng.uniform(size=(1, gm, hh, ww)) > 0.6)
+            .astype(np.float32)),
     )
 
 
@@ -60,10 +63,12 @@ def test_uniad_loss_and_train_step():
     prev_bev = jnp.zeros((1, 64, 32))
     has_prev = jnp.zeros((1,), bool)
     key = jax.random.PRNGKey(0)
-    params = model.init(key, frames, None, prev_bev, has_prev, command)
+    params = model.init(key, frames, None, prev_bev, has_prev, command,
+                        with_masks=True)
 
-    # standalone loss
-    out = model.apply(params, frames, None, prev_bev, has_prev, command)
+    # standalone loss (with the thing-mask branch active)
+    out = model.apply(params, frames, None, prev_bev, has_prev, command,
+                      with_masks=True)
     total, losses = uniad_loss(out, targets,
                                task_loss_weight=dict(track=1.0, map=1.0,
                                                      motion=1.0, occ=1.0,

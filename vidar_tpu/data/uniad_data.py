@@ -202,8 +202,10 @@ class UniADDataset(NuScenesDetDataset):
 
         # --- map gt (optional precomputed anns) ---
         gm = self.max_map_gt
+        bh, bw = self.bev_size
         map_boxes = np.zeros((gm, 4), np.float32)
         map_labels = np.zeros((gm,), np.int32)
+        map_masks = np.zeros((gm, bh, bw), np.float32)
         n_map = 0
         if self.map_anns is not None:
             ann = self.map_anns.get(info['token'])
@@ -213,6 +215,18 @@ class UniADDataset(NuScenesDetDataset):
                 n_map = min(len(mb), gm)
                 map_boxes[:n_map] = mb[:n_map]
                 map_labels[:n_map] = ml[:n_map]
+                for k, pts in enumerate(ann.get('polylines', [])[:n_map]):
+                    # thin-element rasterization: mark cells under the
+                    # densified points, 3x3 dilated
+                    cx = np.clip((pts[:, 0] * bw).astype(int), 0, bw - 1)
+                    cy = np.clip((pts[:, 1] * bh).astype(int), 0, bh - 1)
+                    m = np.zeros((bh, bw), np.float32)
+                    m[cy, cx] = 1.0
+                    for dy in (-1, 0, 1):
+                        for dx in (-1, 0, 1):
+                            m[np.clip(cy + dy, 0, bh - 1),
+                              np.clip(cx + dx, 0, bw - 1)] = 1.0
+                    map_masks[k] = m
 
         targets = UniADTargets(
             gt_boxes=det.gt_bboxes,
@@ -221,6 +235,7 @@ class UniADDataset(NuScenesDetDataset):
             map_boxes=jnp.asarray(map_boxes[None]),
             map_labels=jnp.asarray(map_labels[None]),
             num_valid_map=jnp.asarray(np.array([n_map], np.int32)),
+            map_masks=jnp.asarray(map_masks[None]),
             gt_traj=jnp.asarray(gt_traj[None]),
             gt_traj_valid=jnp.asarray(gt_valid[None]),
             sdc_traj=jnp.asarray(sdc[None]),

@@ -6,7 +6,9 @@ tool parses ``maps/expansion/<location>.json`` directly and emits a
 ``map_ann_file`` pkl consumed by ``data.uniad_data.UniADDataset``:
 
     {sample_token: {'boxes': [N, 4] cxcywh in [0, 1] (pc_range frame),
-                    'labels': [N] int32}}
+                    'labels': [N] int32,
+                    'polylines': list of [P, 2] float32 in [0, 1]
+                        (decimated element points, for mask rasterization)}}
 
 Classes (the reference's three "thing" classes for PansegformerHead):
     0 divider       road_divider + lane_divider lines
@@ -92,7 +94,7 @@ def sample_map_boxes(elements: Dict[str, List[np.ndarray]],
                 segs.append(a[None] * (1 - t) + b[None] * t)
         return np.concatenate(segs, 0)
 
-    boxes, labels = [], []
+    boxes, labels, polylines = [], [], []
     for ci, cname in enumerate(CLASSES):
         for raw in elements[cname]:
             pts = densify(raw, closed=(cname != 'divider'))
@@ -112,10 +114,14 @@ def sample_map_boxes(elements: Dict[str, List[np.ndarray]],
             boxes.append([cx, cy, max((xmax - xmin) / sx, 1e-3),
                           max((ymax - ymin) / sy, 1e-3)])
             labels.append(ci)
+            qn = np.stack([(q[:, 0] - x0) / sx, (q[:, 1] - y0) / sy], -1)
+            if len(qn) > 64:
+                qn = qn[np.linspace(0, len(qn) - 1, 64).astype(int)]
+            polylines.append(qn.astype(np.float32))
     if not boxes:
-        return np.zeros((0, 4), np.float32), np.zeros((0,), np.int32)
+        return (np.zeros((0, 4), np.float32), np.zeros((0,), np.int32), [])
     return (np.asarray(boxes, np.float32),
-            np.asarray(labels, np.int32))
+            np.asarray(labels, np.int32), polylines)
 
 
 def create_map_anns(data_root: str, version: str, infos_pkl: str,
@@ -138,8 +144,10 @@ def create_map_anns(data_root: str, version: str, infos_pkl: str,
                                 info['lidar2ego_rotation'], inverse=True) @
                transform_matrix(info['ego2global_translation'],
                                 info['ego2global_rotation'], inverse=True))
-        boxes, labels = sample_map_boxes(maps[loc], g2l, pc_range)
-        anns[info['token']] = dict(boxes=boxes, labels=labels)
+        boxes, labels, polylines = sample_map_boxes(maps[loc], g2l,
+                                                    pc_range)
+        anns[info['token']] = dict(boxes=boxes, labels=labels,
+                                   polylines=polylines)
     with open(out_pkl, 'wb') as f:
         pickle.dump(anns, f)
     return len(anns)

@@ -69,9 +69,19 @@ def main():
 
     key = jax.random.PRNGKey(args.seed)
     batch0 = dataset[0]
-    init_in = batch0.frames if hasattr(batch0, 'frames') else batch0
-    params = model.init({'params': key, 'dropout': key, 'aug': key},
-                        init_in, train=False)
+    if model_type in ('UniAD',):
+        frames0, _, command0 = batch0
+        prev0 = jax.numpy.zeros(
+            (command0.shape[0], cfg['model']['bev_h'] * cfg['model']['bev_w'],
+             cfg['model']['embed_dims']), jax.numpy.float32)
+        pe0 = jax.numpy.zeros((command0.shape[0],), bool)
+        params = model.init({'params': key, 'dropout': key, 'aug': key},
+                            frames0, None, prev0, pe0, command0,
+                            with_masks=True)
+    else:
+        init_in = batch0.frames if hasattr(batch0, 'frames') else batch0
+        params = model.init({'params': key, 'dropout': key, 'aug': key},
+                            init_in, train=False)
     load_from = args.load_from or cfg.get('load_from')
     if load_from:
         if load_from.endswith('.pth') and os.path.exists(load_from):

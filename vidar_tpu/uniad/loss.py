@@ -44,6 +44,7 @@ class UniADTargets(NamedTuple):
     sdc_traj: jnp.ndarray        # [B, Tp, 3] x y yaw
     sdc_mask: jnp.ndarray        # [B, Tp] {0,1}
     gt_occ: jnp.ndarray          # [B, G, To, H, W] instance occupancy {0,1}
+    map_masks: jnp.ndarray       # [B, Gm, Hb, Wb] map element BEV masks
 
 
 DEFAULT_TASK_WEIGHTS = dict(track=1.0, map=1.0, motion=1.0, occ=1.0,
@@ -122,7 +123,24 @@ def uniad_loss(out, targets: UniADTargets,
             c, b2, gl, gb, nv, num_things_classes=num_map_things))(
         seg_cls, seg_box, targets.map_labels, targets.map_boxes,
         targets.num_valid_map)
+    map_assign = map_losses.pop('assign')          # [B, Q] (NOT a loss)
     map_total = sum(v.mean() for v in map_losses.values())
+    # thing-mask branch (reference DiceLoss weight=2.0, panseg_head.py:64):
+    # gt element masks follow the same Hungarian assignment through the
+    # top-k query selection
+    seg_masks = out['seg'].get('masks')
+    if seg_masks is not None:
+        top = seg_masks['thing_index']             # [B, K]
+        tm = seg_masks['thing_masks']              # [B, K, Hb, Wb]
+        gm = targets.map_masks.shape[1]
+        a_top = jnp.take_along_axis(map_assign, top, axis=1)
+        pos_m = a_top >= 0
+        safe_m = jnp.clip(a_top, 0, gm - 1)
+        gt_m = jnp.take_along_axis(
+            targets.map_masks, safe_m[..., None, None], axis=1)
+        valid_m = pos_m[..., None, None].astype(jnp.float32)
+        map_total = map_total + 2.0 * dice_loss_with_masks(
+            tm, gt_m, valid_m)
     losses['map.loss'] = map_total
 
     # ---- motion: MTP loss on slots aligned by the track assignment ----

@@ -170,14 +170,15 @@ class UniAD(nn.Module):
 
     def __call__(self, batch, tracks: Optional[TrackInstances],
                  prev_bev, prev_exists, command, *,
-                 deterministic: bool = True):
+                 deterministic: bool = True, with_masks: bool = False):
         if tracks is None:
             tracks = self.track.init_tracks()
         bev = self.track.encode_bev(batch, prev_bev, prev_exists)
         det_preds, tracks = self.track.track_frame(bev, tracks)
 
         # ---- map segmentation ----
-        seg = self.seg_head(bev, deterministic=deterministic)
+        seg = self.seg_head(bev, with_masks=with_masks,
+                            deterministic=deterministic)
         memory, _, memory_pos, lane_query, _, lane_query_pos, _ = \
             seg['args_tuple']
 
