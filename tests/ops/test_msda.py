@@ -50,8 +50,23 @@ def test_msda_matches_torch():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
-def test_msda_fused_matches_torch():
+def _count_fused_calls(monkeypatch):
+    """Instrument the fused kernel entry so tests can assert it ran."""
+    from vidar_tpu.ops import msda as msda_mod
+    calls = []
+    real = msda_mod._msda_fused
+
+    def spy(*args, **kwargs):
+        calls.append(1)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(msda_mod, '_msda_fused', spy)
+    return calls
+
+
+def test_msda_fused_matches_torch(monkeypatch):
     """Pallas fused kernel (interpret mode on CPU) vs the torch oracle."""
+    calls = _count_fused_calls(monkeypatch)
     rng = np.random.default_rng(3)
     spatial_shapes = [(12, 20), (6, 10), (3, 5)]
     b, heads, dim, q, p = 2, 4, 32, 50, 2
@@ -64,14 +79,39 @@ def test_msda_fused_matches_torch():
     got = np.asarray(msdeform_attn(
         jnp.asarray(value), spatial_shapes, jnp.asarray(loc), jnp.asarray(w),
         impl='fused'))
+    assert calls, 'fused kernel was silently bypassed'
     want = torch_msda_oracle(
         torch.from_numpy(value), spatial_shapes,
         torch.from_numpy(loc), torch.from_numpy(w)).numpy()
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
-def test_msda_fused_bf16_packed_table():
-    """bf16 values exercise the uint32 bit-packed table kernel path."""
+def test_msda_fused_production_shape_matches_torch(monkeypatch):
+    """L*P >= 16 (the auto-gate regime actually used by SCA) vs oracle."""
+    calls = _count_fused_calls(monkeypatch)
+    rng = np.random.default_rng(7)
+    spatial_shapes = [(12, 20), (6, 10), (3, 5), (2, 3)]
+    b, heads, dim, q, p = 1, 2, 32, 40, 4  # L*P = 16: passes the auto gate
+    v_len = sum(h * w for h, w in spatial_shapes)
+    value = rng.standard_normal((b, v_len, heads, dim)).astype(np.float32)
+    loc = rng.uniform(-0.2, 1.2, size=(b, q, heads, 4, p, 2)).astype(np.float32)
+    w = rng.uniform(size=(b, q, heads, 4 * p)).astype(np.float32)
+    w = (w / w.sum(-1, keepdims=True)).reshape(b, q, heads, 4, p)
+
+    got = np.asarray(msdeform_attn(
+        jnp.asarray(value), spatial_shapes, jnp.asarray(loc), jnp.asarray(w),
+        impl='fused'))
+    assert calls, 'fused kernel was silently bypassed'
+    want = torch_msda_oracle(
+        torch.from_numpy(value), spatial_shapes,
+        torch.from_numpy(loc), torch.from_numpy(w)).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_msda_fused_bf16_packed_table(monkeypatch):
+    """bf16 values ride the fused kernel (values upcast to the f32 table)
+    and must agree with the packed path at bf16 tolerance."""
+    calls = _count_fused_calls(monkeypatch)
     rng = np.random.default_rng(11)
     spatial_shapes = [(12, 20), (6, 10)]
     b, heads, dim, q, p = 1, 2, 32, 30, 3
@@ -84,13 +124,15 @@ def test_msda_fused_bf16_packed_table():
     v16 = jnp.asarray(value).astype(jnp.bfloat16)
     got = np.asarray(msdeform_attn(
         v16, spatial_shapes, jnp.asarray(loc), jnp.asarray(w), impl='fused'))
+    assert calls, 'fused kernel was silently bypassed'
     want = np.asarray(msdeform_attn(
         v16, spatial_shapes, jnp.asarray(loc), jnp.asarray(w), impl='packed'))
     np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
 
 
-def test_msda_fused_grad_matches_packed():
+def test_msda_fused_grad_matches_packed(monkeypatch):
     import jax
+    calls = _count_fused_calls(monkeypatch)
     rng = np.random.default_rng(5)
     spatial_shapes = [(6, 8), (3, 4)]
     b, heads, dim, q, p = 1, 2, 32, 9, 2
@@ -108,6 +150,7 @@ def test_msda_fused_grad_matches_packed():
             msdeform_attn(v, spatial_shapes, l, a, impl=impl) ** 2).sum()
 
     g_fused = jax.grad(loss('fused'), argnums=(0, 1, 2))(value, loc, w)
+    assert calls, 'fused kernel was silently bypassed'
     g_packed = jax.grad(loss('packed'), argnums=(0, 1, 2))(value, loc, w)
     for gf, gp in zip(g_fused, g_packed):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gp),
@@ -119,6 +162,7 @@ def test_msda_fused_column_split(monkeypatch):
     split with a tiny table budget and check fwd+grad parity."""
     import jax
     from vidar_tpu.ops import msda_pallas
+    calls = _count_fused_calls(monkeypatch)
     monkeypatch.setattr(msda_pallas, 'TABLE_BUDGET_BYTES', 80_000)
 
     rng = np.random.default_rng(9)
@@ -138,6 +182,7 @@ def test_msda_fused_column_split(monkeypatch):
 
     got = np.asarray(msdeform_attn(value, spatial_shapes, loc, w,
                                    impl='fused'))
+    assert calls, 'fused kernel was silently bypassed'
     want = np.asarray(msdeform_attn(value, spatial_shapes, loc, w,
                                     impl='packed'))
     np.testing.assert_allclose(got, want, atol=1e-5)

@@ -28,6 +28,24 @@ from .structures import ViDARBatch
 from vidar_tpu import native
 
 
+def compute_bev_shift(can_bus_rebased: np.ndarray, l2g_rot: np.ndarray,
+                      bev_size, pc_range) -> np.ndarray:
+    """BEV-grid ego-motion shift from a rebased can_bus delta.
+
+    The host-side equivalent of the numpy math the reference runs inside
+    ``PerceptionTransformer.get_bev_features`` (modules/transformer.py:
+    120-134): rotate the global-frame translation delta into the lidar
+    frame and normalise by the BEV cell size.
+    """
+    bev_h, bev_w = bev_size
+    grid_len_y = (pc_range[4] - pc_range[1]) / bev_h
+    grid_len_x = (pc_range[3] - pc_range[0]) / bev_w
+    delta = np.linalg.inv(l2g_rot) @ np.asarray(can_bus_rebased[:3],
+                                                np.float64)
+    return np.array([delta[0] / grid_len_x / bev_w,
+                     delta[1] / grid_len_y / bev_h], np.float32)
+
+
 class NuScenesViDARDataset:
     """Iterable over ViDAR pretrain samples.
 
@@ -145,9 +163,26 @@ class NuScenesViDARDataset:
             intrinsics=np.stack(intrinsics),
             scene_token=info['scene_token'])
 
+    def streaming_meta(self, i: int) -> Dict:
+        """Raw (un-rebased) current-frame meta for streaming evaluation.
+
+        The streaming rebase (reference bevformer.py:291-324) needs the raw
+        global can_bus pos/angle of each streamed frame — the per-sample
+        window rebase in ``__getitem__`` zeroes them for the first frame of
+        the window, so they must be re-read here.
+        """
+        m = self._frame_meta(self.usable_index[i])
+        return dict(scene_token=m['scene_token'],
+                    can_bus=m['can_bus'].copy(),
+                    l2g_rot=m['l2g_rot'].copy())
+
     # ------------------------------------------------------------- assembly
 
     def _window_indices(self, index: int, rand_interval: int):
+        # Range-clamp only, NO scene filter — matching the reference
+        # (nuscenes_vidar_dataset_template.py:116-117 clamps to the dataset
+        # range; scene changes are handled downstream by the per-scene
+        # can_bus rebase + prev_bev_exists reset, dataset_v1.py:109-137).
         prev = sorted(range(index - self.queue_length * rand_interval, index,
                             rand_interval))
         if rand_interval < 0:
@@ -208,16 +243,12 @@ class NuScenesViDARDataset:
             can_bus[k] = cb
 
         # ego-motion shift for TSA (transformer.py:120-134, precomputed here)
-        bev_h, bev_w = self.bev_size
-        grid_len_y = (self.pc_range[4] - self.pc_range[1]) / bev_h
-        grid_len_x = (self.pc_range[3] - self.pc_range[0]) / bev_w
         shift = np.zeros((t, 2), np.float32)
         rotate_angle = np.zeros((t,), np.float32)
         for k, j in enumerate(prev_idx):
             m = metas[j]
-            delta = np.linalg.inv(m['l2g_rot']) @ can_bus[k, :3]
-            shift[k, 0] = delta[0] / grid_len_x / bev_w
-            shift[k, 1] = delta[1] / grid_len_y / bev_h
+            shift[k] = compute_bev_shift(can_bus[k], m['l2g_rot'],
+                                         self.bev_size, self.pc_range)
             rotate_angle[k] = can_bus[k, -1]
 
         # future chain (dataset_v1.py:143-181)

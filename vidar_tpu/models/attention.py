@@ -293,6 +293,14 @@ class SpatialCrossAttention(nn.Module):
             # The stable visible-first ordering is built with an O(N)
             # cumsum partition + one scatter (a bitonic argsort of 40k keys
             # per camera is ~100x more comparator stages on the VPU).
+            # telemetry: visible queries ranked past `cap` are dropped.
+            # nuScenes per-camera visibility peaks ~0.35 * num_query, but
+            # other geometries (8-cam OpenScene) are unverified — sow the
+            # overflow so debug runs (mutable=['intermediates']) can assert
+            # it stays zero before trusting a capacity_ratio setting.
+            vis_count = visible.sum(axis=2)            # [bs, cams]
+            self.sow('intermediates', 'sca_capacity_overflow',
+                     jnp.clip(vis_count - cap, 0, None))
             sel = _stable_partition_indices(visible)[:, :, :cap]
             sel_valid = jnp.take_along_axis(visible, sel, axis=2)
 

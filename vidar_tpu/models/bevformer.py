@@ -93,19 +93,22 @@ class BEVFormer(nn.Module):
     def obtain_history_bev(self, feats, batch: ViDARBatch, img_hw,
                            *, num_prev: int, train: bool):
         """Frozen recurrence + optional gradient window (static unroll —
-        the fine-tune history is <= 3 frames)."""
+        the fine-tune history is <= 3 frames).
+
+        Reference semantics (bevformer.py:158-232): ALL history backbone
+        features are no-grad (even the backwarded frames' features run
+        under torch.no_grad); the backwarded window only backprops through
+        the BEV head, which runs in train mode (dropout active)."""
         bs = batch.images.shape[0]
         back_n = self.backwarded_prev_frame_num if train else 0
         prev_bev = jnp.zeros((bs, self.bev_h * self.bev_w, self.embed_dims),
                              feats[0].dtype)
         for t in range(num_prev):
-            frame_feats = [f[t] for f in feats]
+            frame_feats = [jax.lax.stop_gradient(f[t]) for f in feats]
             frozen = t < num_prev - back_n
-            if frozen:
-                frame_feats = [jax.lax.stop_gradient(f) for f in frame_feats]
             bev = self._encode_frame(frame_feats, batch, t, prev_bev,
                                      batch.prev_bev_exists[:, t], img_hw,
-                                     deterministic=True)
+                                     deterministic=frozen or not train)
             prev_bev = jax.lax.stop_gradient(bev) if frozen else bev
         return prev_bev
 
@@ -116,11 +119,23 @@ class BEVFormer(nn.Module):
         t = batch.num_image_frames
         images = batch.images
         if train and self.use_grid_mask:
+            # grid-mask only the current frame: history feature extraction
+            # runs under model.eval() in the reference, where GridMask is a
+            # no-op (reference bevformer.py:161-173, grid_mask.py:91)
             bs, _, cams, h, w, c = images.shape
-            flat = images.reshape(bs * t * cams, h, w, c)
-            flat = grid_mask(self.make_rng('aug'), flat)
-            images = flat.reshape(bs, t, cams, h, w, c)
-        feats = self.extract_feats(images)
+            cur = grid_mask(self.make_rng('aug'),
+                            images[:, -1].reshape(bs * cams, h, w, c))
+            images = images.at[:, -1].set(cur.reshape(bs, cams, h, w, c))
+        if train:
+            # split the backbone call: history frames carry no gradients,
+            # so keep their activations out of the backward residuals
+            hist = jax.tree.map(jax.lax.stop_gradient,
+                                self.extract_feats(images[:, :-1]))
+            cur_f = self.extract_feats(images[:, -1:])
+            feats = [jnp.concatenate([hf, cf], axis=0)
+                     for hf, cf in zip(hist, cur_f)]
+        else:
+            feats = self.extract_feats(images)
 
         prev_bev = self.obtain_history_bev(feats, batch, img_hw,
                                            num_prev=t - 1, train=train)

@@ -34,6 +34,19 @@ def parse_args():
     return p.parse_args()
 
 
+def collate_samples(items):
+    """Stack bs=1 sample pytrees into one global batch (axis-0 concat).
+
+    The TPU equivalent of the reference's DataLoader collate: the ``data``
+    mesh axis is fed one sample per device (reference trains bs=1/GPU,
+    datasets/builder.py:19-94)."""
+    import jax
+    import jax.numpy as jnp
+    if len(items) == 1:
+        return items[0]
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *items)
+
+
 def main():
     args = parse_args()
     import jax
@@ -46,6 +59,8 @@ def main():
                          make_det_train_step)
     from ..core.checkpoint import (save_checkpoint, load_checkpoint,
                                    import_torch_checkpoint)
+    from ..data.samplers import GroupShuffleSampler
+    from ..data.prefetch import PrefetchLoader
 
     cfg = apply_overrides(load_config(args.config), args.cfg_options)
     work_dir = args.work_dir or cfg.get('work_dir') or os.path.join(
@@ -63,9 +78,57 @@ def main():
     model = build_model(cfg['model'])
     dataset = build_dataset(cfg['data']['train'])
 
+    mesh = make_mesh()
+    num_data_shards = mesh.shape['data']
+    samples_per_device = int(cfg.get('data', {}).get('samples_per_gpu', 1))
+    global_batch = samples_per_device * num_data_shards
+
+    # training sampler: per-epoch shuffled (reference
+    # DistributedGroupSampler, samplers/group_sampler.py:15; our multi-host
+    # sharding rides jax.process_index — on a single host all devices are
+    # fed from one global batch). Datasets expose ``group_ids`` for
+    # aspect-grouping; default is one group = plain shuffle.
+    group_ids = getattr(dataset, 'group_ids', None)
+    if group_ids is None:
+        group_ids = np.zeros(len(dataset), np.int64)
+    sampler = GroupShuffleSampler(group_ids, rank=jax.process_index(),
+                                  world_size=jax.process_count(),
+                                  seed=args.seed)
+
     total_epochs = cfg.get('total_epochs', 24)
-    steps_per_epoch = len(dataset)
+    epoch_len = len(sampler.epoch_indices(0))
+    steps_per_epoch = max(1, epoch_len // global_batch)
     total_steps = args.max_steps or total_epochs * steps_per_epoch
+
+    num_workers = int(cfg.get('data', {}).get('workers_per_gpu', 4))
+    if args.deterministic:
+        # single-threaded loading: the dataset's numpy RNG is shared across
+        # prefetch threads, so thread scheduling perturbs the aug stream —
+        # one worker makes the sample stream bit-reproducible
+        num_workers = 1
+
+    def epoch_batches(epoch: int, skip_steps: int = 0):
+        idx = sampler.epoch_indices(epoch)
+        # pad to a whole number of global batches (wrap-around, matching
+        # the reference sampler's padding-to-equal-length contract)
+        n_steps = max(1, len(idx) // global_batch)
+        need = n_steps * global_batch
+        if len(idx) < need:
+            idx = (idx * ((need + len(idx) - 1) // len(idx)))[:need]
+        idx = idx[:need]
+        idx = idx[skip_steps * global_batch:]
+        loader = PrefetchLoader(dataset.__getitem__, idx,
+                                num_threads=num_workers,
+                                depth=max(2 * global_batch, 4))
+        it = iter(loader)
+        while True:
+            items = []
+            try:
+                for _ in range(global_batch):
+                    items.append(next(it))
+            except StopIteration:
+                return
+            yield collate_samples(items)
 
     key = jax.random.PRNGKey(args.seed)
     batch0 = dataset[0]
@@ -107,8 +170,6 @@ def main():
         grad_clip_norm=cfg.get('grad_clip_norm', 35.0),
         total_steps=total_steps)
     state = create_train_state(params, tx)
-
-    mesh = make_mesh()
     state = jax.device_put(state, replicated_sharding(mesh))
     if model_type in ('BEVFormer',):
         step_fn = make_det_train_step(model, mesh=mesh)
@@ -159,25 +220,56 @@ def main():
             print(f'[eval] new best '
                   f'{eval_hook.save_best}={eval_hook.best_score:.5f}')
 
+    # EMA hook (reference core/hooks/ema.py; enable with cfg `ema = dict(
+    # mode='exp'|'linear', momentum=..., gamma=...)`)
+    ema_cfg = dict(cfg.get('ema') or {})
+    ema_state = None
+    ema_update = None
+    if ema_cfg:
+        from ..train.ema import init_ema, update_ema
+        ema_state = jax.device_put(init_ema(state.params),
+                                   replicated_sharding(mesh))
+        ema_update = jax.jit(
+            lambda es, p: update_ema(
+                es, p, momentum=ema_cfg.get('momentum', 0.0002),
+                gamma=ema_cfg.get('gamma', 2000.0),
+                mode=ema_cfg.get('mode', 'exp')),
+            donate_argnums=(0,))
+
     rng = np.random.default_rng(args.seed)
     t0 = time.time()
     start = int(state.step)
-    for it in range(start, total_steps):
-        batch = dataset[it % steps_per_epoch]
-        batch = shard_batch(batch, mesh)
-        state, metrics = step_fn(state, batch, jax.random.PRNGKey(
-            rng.integers(2 ** 31)))
-        if (it + 1) % log_interval == 0:
-            m = {k: float(v) for k, v in metrics.items()}
-            m['lr'] = float(sched(it))
-            m['it/s'] = log_interval / (time.time() - t0)
-            t0 = time.time()
-            print(f'[{it + 1}/{total_steps}] ' + json.dumps(m))
-        if (it + 1) % ckpt_interval == 0:
-            save_checkpoint(os.path.join(work_dir, f'step_{it + 1}'), state)
-        if (it + 1) % steps_per_epoch == 0:
-            maybe_evaluate((it + 1) // steps_per_epoch, state)
+    it = start
+    start_epoch = start // steps_per_epoch
+    skip = start % steps_per_epoch
+    # --max-steps may exceed total_epochs * steps_per_epoch (debug runs on
+    # tiny datasets); keep cycling epochs until the step budget is spent
+    run_epochs = max(total_epochs, -(-total_steps // steps_per_epoch))
+    for epoch in range(start_epoch, run_epochs):
+        for batch in epoch_batches(epoch, skip_steps=skip):
+            if it >= total_steps:
+                break
+            batch = shard_batch(batch, mesh)
+            state, metrics = step_fn(state, batch, jax.random.PRNGKey(
+                rng.integers(2 ** 31)))
+            if ema_update is not None:
+                ema_state = ema_update(ema_state, state.params)
+            it += 1
+            if it % log_interval == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                m['lr'] = float(sched(it - 1))
+                m['it/s'] = log_interval / (time.time() - t0)
+                t0 = time.time()
+                print(f'[{it}/{total_steps}] ' + json.dumps(m))
+            if it % ckpt_interval == 0:
+                save_checkpoint(os.path.join(work_dir, f'step_{it}'), state)
+        skip = 0
+        maybe_evaluate(epoch + 1, state)
+        if it >= total_steps:
+            break
     save_checkpoint(os.path.join(work_dir, 'latest'), state)
+    if ema_state is not None:
+        save_checkpoint(os.path.join(work_dir, 'ema_latest'), ema_state)
 
 
 if __name__ == '__main__':

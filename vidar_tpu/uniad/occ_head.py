@@ -382,7 +382,12 @@ class _MultiQueryFuser(nn.Module):
 
 def fiery_binary_seg_loss(logits, targets, valid=None, top_k_ratio=0.25,
                           future_discount=0.95):
-    """Top-k BCE with future discount over [B, Q, T, H, W] masks."""
+    """Top-k BCE with future discount over [B, Q, T, H, W] masks.
+
+    Normalized over the *valid* agent slots (reference occflow loss
+    averages over matched agents), so the supervision magnitude does not
+    shrink as the padded slot capacity grows.
+    """
     t_axis = logits.shape[2]
     bce = _bce_logits(logits, targets)
     disc = future_discount ** jnp.arange(t_axis, dtype=jnp.float32)
@@ -393,11 +398,20 @@ def fiery_binary_seg_loss(logits, targets, valid=None, top_k_ratio=0.25,
     flat = bce.reshape(b, q, t, h * w)
     k = max(1, int(h * w * top_k_ratio))
     top, _ = jax.lax.top_k(flat, k)
-    return top.mean()
+    per_slot = top.mean(axis=(2, 3))                    # [B, Q]
+    if valid is None:
+        return per_slot.mean()
+    slot_valid = valid.reshape(b, q)                    # [B, Q] 0/1
+    return per_slot.sum() / jnp.clip(slot_valid.sum(), 1.0, None)
 
 
 def dice_loss_with_masks(logits, targets, valid=None, eps: float = 1.0):
-    """Naive dice over sigmoid masks (losses/occflow_loss.py:141-200)."""
+    """Naive dice over sigmoid masks (losses/occflow_loss.py:141-200).
+
+    Like :func:`fiery_binary_seg_loss`, normalized over valid agent slots
+    when a validity mask is given (invalid slots score ~0 but would still
+    dilute a plain mean over the padded capacity).
+    """
     p = jax.nn.sigmoid(logits)
     if valid is not None:
         p = p * valid
@@ -405,7 +419,13 @@ def dice_loss_with_masks(logits, targets, valid=None, eps: float = 1.0):
     axes = tuple(range(2, logits.ndim))
     num = 2.0 * (p * targets).sum(axes)
     den = p.sum(axes) + targets.sum(axes) + eps
-    return (1.0 - (num + eps) / den).mean()
+    per = 1.0 - (num + eps) / den
+    if valid is None:
+        return per.mean()
+    b, q = per.shape[:2]
+    slot_valid = valid.reshape(b, q)
+    per = per.reshape(b, q, -1).mean(-1) * slot_valid
+    return per.sum() / jnp.clip(slot_valid.sum(), 1.0, None)
 
 
 def _bce_logits(logits, targets):

@@ -37,6 +37,7 @@ class PlanningHeadSingleMode(nn.Module):
     occ_filter_range: float = 5.0
     sigma: float = 1.0
     alpha_collision: float = 5.0
+    pc_range: Sequence[float] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
     dtype: jnp.dtype | None = None
 
     def setup(self):
@@ -93,7 +94,8 @@ class PlanningHeadSingleMode(nn.Module):
             traj = collision_optimize(
                 traj, occ_mask, bev_h=self.bev_h, bev_w=self.bev_w,
                 occ_filter_range=self.occ_filter_range, sigma=self.sigma,
-                alpha_collision=self.alpha_collision)
+                alpha_collision=self.alpha_collision,
+                pc_range=self.pc_range)
         return dict(sdc_traj=traj, sdc_traj_all=traj)
 
 
@@ -127,22 +129,28 @@ class _AdapterBlock(nn.Module):
 def collision_optimize(traj, occ_mask, *, bev_h: int = 200, bev_w: int = 200,
                        occ_filter_range: float = 5.0, sigma: float = 1.0,
                        alpha_collision: float = 5.0, n_iters: int = 50,
-                       lr: float = 0.1):
+                       lr: float = 0.1,
+                       pc_range: Sequence[float] = (-51.2, -51.2, -5.0,
+                                                    51.2, 51.2, 3.0)):
     """Refine [B, T, 2] waypoints against [B, T_occ, H, W] occupancy.
 
     Objective (collision_optimization.py:93-110):
       sum_t ||p_t - ref_t||^2
       + alpha / (2.507 * sigma) * sum_occupied exp(-||p_t - c||^2 / 2 sigma^2)
     restricted to occupied cells within ``occ_filter_range`` of the
-    waypoint. Dense-grid gradient descent replaces IPOPT; each cell center
-    follows the reference pixel->metre map (planning_head.py:222-227).
+    waypoint. Dense-grid gradient descent replaces IPOPT. Cell centres are
+    derived from ``pc_range`` and the occupancy grid shape (the reference
+    hardcodes its [-50, 50] x 0.5 m grid, planning_head.py:222-227; the
+    occupancy we receive lives on the encoder BEV grid spanning pc_range).
     """
     b, t_occ = occ_mask.shape[:2]
     steps = traj.shape[1]
     ref = jax.lax.stop_gradient(traj)
 
-    ys = (jnp.arange(bev_h, dtype=jnp.float32) - bev_h // 2) * 0.5 + 0.25
-    xs = (jnp.arange(bev_w, dtype=jnp.float32) - bev_w // 2) * 0.5 + 0.25
+    cell_h = (pc_range[4] - pc_range[1]) / bev_h
+    cell_w = (pc_range[3] - pc_range[0]) / bev_w
+    ys = pc_range[1] + (jnp.arange(bev_h, dtype=jnp.float32) + 0.5) * cell_h
+    xs = pc_range[0] + (jnp.arange(bev_w, dtype=jnp.float32) + 0.5) * cell_w
     cx = jnp.broadcast_to(xs[None, :], (bev_h, bev_w))
     cy = jnp.broadcast_to(ys[:, None], (bev_h, bev_w))
 
