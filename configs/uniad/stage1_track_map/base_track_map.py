@@ -21,13 +21,18 @@ model = dict(
     backbone_depth=101,
     latent_render_lids=(),
     latent_render_cfg=None,
-    task_loss_weight=dict(track=1.0, map=1.0, motion=1.0, occ=1.0,
-                          planning=1.0),
+    # stage 1 trains track + map only (reference base_track_map.py:
+    # motion/occ/planning heads are absent until stage 2)
+    task_loss_weight=dict(track=1.0, map=1.0, motion=0.0, occ=0.0,
+                          planning=0.0),
 )
 
+# UniADDataset emits the (frames, UniADTargets, command) tuple the UniAD
+# train step consumes (multi-task gt derived on the fly; occupancy gt
+# rasterized on the encoder BEV grid to match OccHead's logits).
 data = dict(
     train=dict(
-        type='CustomNuScenesDataset',
+        type='UniADDataset',
         ann_file='data/nuscenes/nuscenes_infos_temporal_train.pkl',
         data_root='data/nuscenes/',
         queue_length=queue_length,
@@ -35,9 +40,13 @@ data = dict(
         test_mode=False,
         bev_size=(bev_h_, bev_w_),
         pc_range=point_cloud_range,
+        predict_steps=12,
+        planning_steps=6,
+        occ_n_future=4,
+        map_ann_file=None,  # tools/map_converter.py output enables map gt
     ),
     test=dict(
-        type='CustomNuScenesDataset',
+        type='UniADDataset',
         ann_file='data/nuscenes/nuscenes_infos_temporal_val.pkl',
         data_root='data/nuscenes/',
         queue_length=queue_length,
@@ -45,6 +54,10 @@ data = dict(
         test_mode=True,
         bev_size=(bev_h_, bev_w_),
         pc_range=point_cloud_range,
+        predict_steps=12,
+        planning_steps=6,
+        occ_n_future=4,
+        map_ann_file=None,
     ),
 )
 

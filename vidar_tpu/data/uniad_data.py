@@ -37,14 +37,21 @@ from .geometry import transform_matrix
 class UniADDataset(NuScenesDetDataset):
     def __init__(self, ann_file: str, predict_steps: int = 12,
                  planning_steps: int = 6, occ_n_future: int = 4,
-                 occ_size: Tuple[int, int] = (50, 50),
+                 occ_size: Optional[Tuple[int, int]] = None,
                  max_map_gt: int = 32, map_ann_file: Optional[str] = None,
                  **kwargs):
+        # clip training replays the image window frame-by-frame; a random
+        # temporal stride would desync the recomputed per-frame gt below
+        kwargs['rand_frame_interval'] = (1,)
         super().__init__(ann_file, **kwargs)
+        self._inst_ids: dict = {}
         self.predict_steps = predict_steps
         self.planning_steps = planning_steps
         self.occ_n_future = occ_n_future
-        self.occ_size = occ_size
+        # OccHead emits instance logits on the full encoder BEV grid
+        # ([B, Q, T, bev_h, bev_w]); the gt raster must match or the
+        # fiery/dice losses fail to broadcast.
+        self.occ_size = tuple(occ_size) if occ_size else tuple(self.bev_size)
         self.max_map_gt = max_map_gt
         self.map_anns = None
         if map_ann_file:
@@ -113,6 +120,65 @@ class UniADDataset(NuScenesDetDataset):
             out[:, 2] = boxes[:, 2] + boxes[:, 5] * 0.5
             out[:, 7:9] = vel
         return out, labels, self._match_ids(info, kept)
+
+    def _instance_id(self, token: str) -> int:
+        """Stable int id per instance token (reference gt_inds)."""
+        if token not in self._inst_ids:
+            self._inst_ids[token] = len(self._inst_ids)
+        return self._inst_ids[token]
+
+    @staticmethod
+    def _normalize_np(boxes9: np.ndarray) -> np.ndarray:
+        """numpy twin of core.bbox.normalize_bbox ([N,9] -> [N,10])."""
+        out = np.zeros((len(boxes9), 10), np.float32)
+        if not len(boxes9):
+            return out
+        out[:, 0:2] = boxes9[:, 0:2]
+        out[:, 2] = np.log(np.maximum(boxes9[:, 3], 1e-6))
+        out[:, 3] = np.log(np.maximum(boxes9[:, 4], 1e-6))
+        out[:, 4] = boxes9[:, 2]
+        out[:, 5] = np.log(np.maximum(boxes9[:, 5], 1e-6))
+        out[:, 6] = np.sin(boxes9[:, 6])
+        out[:, 7] = np.cos(boxes9[:, 6])
+        out[:, 8:10] = boxes9[:, 7:9]
+        return out
+
+    def _clip_track_gt(self, idx0: int, g_cap: int):
+        """Per-window-frame track gt with clip-consistent instance ids.
+
+        The reference converter materialises gt_inds per frame
+        (uniad_track.py:571 ``gt_instances.obj_ids = gt_inds``); here the
+        same ids come from the instance tokens. Boxes of non-current
+        frames are expressed in THEIR OWN frame's lidar coordinates —
+        each clip frame is matched against its own-frame detections.
+        """
+        prev_idx, _ = self._window_indices(idx0, 1)
+        clip_idx = list(prev_idx) + [idx0]
+        tc = len(clip_idx)
+        tb = np.zeros((tc, g_cap, 10), np.float32)
+        tl = np.zeros((tc, g_cap), np.int32)
+        tid = np.full((tc, g_cap), -1, np.int32)
+        tnum = np.zeros((tc,), np.int32)
+        l2g_r = np.zeros((tc, 3, 3), np.float32)
+        l2g_t = np.zeros((tc, 3), np.float32)
+        ts = np.zeros((tc,), np.float32)
+        for k, j in enumerate(clip_idx):
+            jinfo = self.data_infos[j]
+            jb, jl, jtok = self._boxes_with_tokens(jinfo)
+            n = min(len(jb), g_cap)
+            tb[k, :n] = self._normalize_np(jb[:n])
+            tl[k, :n] = jl[:n]
+            if jtok is not None:
+                tid[k, :n] = [self._instance_id(t) for t in jtok[:n]]
+            tnum[k] = n
+            m = (transform_matrix(jinfo['ego2global_translation'],
+                                  jinfo['ego2global_rotation']) @
+                 transform_matrix(jinfo['lidar2ego_translation'],
+                                  jinfo['lidar2ego_rotation']))
+            l2g_r[k] = m[:3, :3]
+            l2g_t[k] = m[:3, 3]
+            ts[k] = jinfo['timestamp'] / 1e6
+        return tb, tl, tid, tnum, l2g_r, l2g_t, ts
 
     def _rasterize(self, centers_xy, dims_wl, yaws):
         """BEV occupancy of boxes on the occ grid (one mask per box)."""
@@ -228,7 +294,17 @@ class UniADDataset(NuScenesDetDataset):
                               np.clip(cx + dx, 0, bw - 1)] = 1.0
                     map_masks[k] = m
 
+        tb, tl, tid, tnum, l2g_r, l2g_t, ts = self._clip_track_gt(
+            idx0, g_cap)
+
         targets = UniADTargets(
+            track_boxes=jnp.asarray(tb[None]),
+            track_labels=jnp.asarray(tl[None]),
+            track_ids=jnp.asarray(tid[None]),
+            track_num=jnp.asarray(tnum[None]),
+            l2g_r=jnp.asarray(l2g_r[None]),
+            l2g_t=jnp.asarray(l2g_t[None]),
+            timestamp=jnp.asarray(ts[None]),
             gt_boxes=det.gt_bboxes,
             gt_labels=det.gt_labels,
             num_valid_gt=det.num_valid_gt,

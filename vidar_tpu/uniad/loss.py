@@ -28,10 +28,14 @@ from vidar_tpu.uniad.planning_head import planning_loss
 
 
 class UniADTargets(NamedTuple):
-    """Fixed-capacity ground truth for one UniAD training frame.
+    """Fixed-capacity ground truth for one UniAD training sample.
 
     G / Gm cap detection / map ground-truth counts; T / To / Tp are the
-    motion / occupancy / planning horizons.
+    motion / occupancy / planning horizons. The ``track_*`` clip fields
+    (optional, [B, Tc, ...] with Tc = clip length) carry per-frame gt with
+    clip-consistent instance ids for ClipMatcher training (reference
+    gt_inds, uniad_track.py:571); when absent the step falls back to
+    single-frame training.
     """
     gt_boxes: jnp.ndarray        # [B, G, 9] cx cy cz w l h rot vx vy
     gt_labels: jnp.ndarray       # [B, G] int32
@@ -45,6 +49,14 @@ class UniADTargets(NamedTuple):
     sdc_mask: jnp.ndarray        # [B, Tp] {0,1}
     gt_occ: jnp.ndarray          # [B, G, To, H, W] instance occupancy {0,1}
     map_masks: jnp.ndarray       # [B, Gm, Hb, Wb] map element BEV masks
+    # ---- clip-training fields (None => single-frame fallback) ----
+    track_boxes: Optional[jnp.ndarray] = None   # [B, Tc, G, 10] normalized
+    track_labels: Optional[jnp.ndarray] = None  # [B, Tc, G] int32
+    track_ids: Optional[jnp.ndarray] = None     # [B, Tc, G] int32, -1 pad
+    track_num: Optional[jnp.ndarray] = None     # [B, Tc] int32
+    l2g_r: Optional[jnp.ndarray] = None         # [B, Tc, 3, 3]
+    l2g_t: Optional[jnp.ndarray] = None         # [B, Tc, 3]
+    timestamp: Optional[jnp.ndarray] = None     # [B, Tc] seconds
 
 
 DEFAULT_TASK_WEIGHTS = dict(track=1.0, map=1.0, motion=1.0, occ=1.0,
@@ -114,7 +126,32 @@ def uniad_loss(out, targets: UniADTargets,
         track_total = track_total + cls_l + box_l
         assigned_last = assigned
     losses['track.loss'] = track_total
+    total, losses = _downstream_losses(out, targets, assigned_last, w,
+                                       losses, num_map_things)
+    return total, losses
 
+
+def uniad_clip_loss(track_losses, out, targets: UniADTargets, matched_last,
+                    task_loss_weight: Optional[dict] = None,
+                    num_map_things: int = 3):
+    """Weighted UniAD loss for the clip-training path.
+
+    ``track_losses`` comes from ``UniAD.clip_forward`` (per-frame
+    ClipMatcher losses summed over the clip); the downstream heads are
+    aligned to gt through ``matched_last`` [B, cap] — the final frame's
+    track<->gt assignment, the reference's track-id alignment
+    (motion_head.py:139-160 consumes matched track queries)."""
+    w = dict(DEFAULT_TASK_WEIGHTS)
+    if task_loss_weight:
+        w.update(task_loss_weight)
+    losses = {'track.loss': track_losses['loss_cls'] +
+              track_losses['loss_bbox']}
+    return _downstream_losses(out, targets, matched_last, w, losses,
+                              num_map_things)
+
+
+def _downstream_losses(out, targets: UniADTargets, assigned_last, w,
+                       losses, num_map_things: int = 3):
     # ---- map: per-sample DETR loss on the last seg layer ----
     seg_cls = out['seg']['outputs_classes'][-1]
     seg_box = out['seg']['outputs_coords'][-1]
