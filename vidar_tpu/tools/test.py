@@ -27,6 +27,10 @@ def parse_args():
     p.add_argument('--submission-path', default='submission/model')
     p.add_argument('--viz-pcd', action='store_true')
     p.add_argument('--viz-path', default='dbg/pred_pcd')
+    p.add_argument('--streaming', action='store_true',
+                   help='video streaming eval: single-frame forward with a '
+                        'cached prev BEV + ego-motion rebasing (reference '
+                        'video_test_mode, bevformer.py:291-324)')
     return p.parse_args()
 
 
@@ -72,6 +76,31 @@ def det_eval(args, cfg, model, dataset):
         preds = model.apply(params, frames, train=False)
         return model.apply(params, preds, method=model.get_bboxes)
 
+    streaming = getattr(args, 'streaming', False)
+    if streaming:
+        import jax.numpy as jnp
+        from ..evals.streaming import StreamingRebase
+        from ..models.bevformer import StreamState
+        rebase = StreamingRebase(
+            bev_size=(cfg['model'].get('bev_h', 200),
+                      cfg['model'].get('bev_w', 200)),
+            pc_range=cfg['model'].get('pc_range',
+                                      (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)))
+        bs = 1
+        stream_state = StreamState(
+            prev_bev=jnp.zeros(
+                (bs, cfg['model'].get('bev_h', 200) *
+                 cfg['model'].get('bev_w', 200),
+                 cfg['model'].get('embed_dims', 256)), jnp.float32),
+            has_prev=jnp.zeros((bs,), bool))
+
+        @jax.jit
+        def stream_fn(params, frames, state):
+            preds, new_state = model.apply(params, frames, state,
+                                           method=model.streaming_test)
+            return model.apply(params, preds,
+                               method=model.get_bboxes), new_state
+
     n = min(len(dataset), args.max_samples or len(dataset))
     predictions, ground_truth = {}, {}
     class_names = tuple(cfg['data']['test'].get(
@@ -80,7 +109,22 @@ def det_eval(args, cfg, model, dataset):
                     'traffic_cone')))
     for i in range(n):
         batch = dataset[i]
-        det = eval_fn(params, batch.frames)
+        if streaming:
+            import jax.numpy as jnp
+            rb = rebase.step(dataset.streaming_meta(i))
+            frames = batch.frames
+            t = frames.num_image_frames - 1
+            frames = frames.replace(
+                can_bus=frames.can_bus.at[:, t].set(
+                    jnp.asarray(rb['can_bus'])),
+                shift=frames.shift.at[:, t].set(jnp.asarray(rb['shift'])),
+                rotate_angle=frames.rotate_angle.at[:, t].set(
+                    rb['rotate_angle']))
+            stream_state = stream_state.replace(
+                has_prev=jnp.full((1,), bool(rb['has_prev'])))
+            det, stream_state = stream_fn(params, frames, stream_state)
+        else:
+            det = eval_fn(params, batch.frames)
         valid = np.asarray(det['valid'])[0]
         predictions[f's{i}'] = dict(
             boxes=np.asarray(det['bboxes'])[0][valid],
@@ -99,6 +143,137 @@ def det_eval(args, cfg, model, dataset):
     if args.out:
         with open(args.out, 'w') as f:
             json.dump(metrics, f, indent=2)
+    return metrics
+
+
+def uniad_eval(args, cfg, model, dataset):
+    """UniAD end-to-end eval: streaming tracker inference over scenes +
+    AMOTA/AMOTP (reference nuscenes_e2e_dataset.py:1161-1181 TrackingEval),
+    NDS/mAP on the tracked boxes, motion minADE/minFDE/MR/EPA and planning
+    L2/collision (reference eval_mod track/motion/planning)."""
+    import jax
+    import jax.numpy as jnp
+    from ..core.checkpoint import import_torch_checkpoint, load_params_partial
+    from ..core.bbox import denormalize_bbox
+    from ..evals.tracking import evaluate_tracking
+    from ..evals.detection import evaluate_detection
+    from ..uniad.metrics import MotionMetric, PlanningMetric
+    from ..uniad.loss import _track_assign
+    from ..core.bbox import normalize_bbox
+
+    frames0, targets0, command0 = dataset[0]
+    bs = command0.shape[0]
+    bev_hw = cfg['model'].get('bev_h', 200) * cfg['model'].get('bev_w', 200)
+    dims = cfg['model'].get('embed_dims', 256)
+    prev0 = jnp.zeros((bs, bev_hw, dims), jnp.float32)
+    pe0 = jnp.zeros((bs,), bool)
+    key = jax.random.PRNGKey(0)
+    params = model.init({'params': key, 'dropout': key, 'aug': key},
+                        frames0, None, prev0, pe0, command0)
+    if args.checkpoint:
+        if args.checkpoint.endswith('.pth'):
+            params = import_torch_checkpoint(args.checkpoint, params)
+        else:
+            params, n_ok, n_skip = load_params_partial(args.checkpoint,
+                                                       params)
+            print(f'checkpoint {args.checkpoint}: {n_ok} tensors loaded, '
+                  f'{n_skip} kept from init')
+
+    @jax.jit
+    def stream_fn(params, frames, tracks, prev_bev, prev_exists, command):
+        out = model.apply(params, frames, tracks, prev_bev, prev_exists,
+                          command, deterministic=True)
+        return out
+
+    n = min(len(dataset), args.max_samples or len(dataset))
+    classes = tuple(cfg['data']['test'].get('classes', (
+        'car', 'truck', 'construction_vehicle', 'bus', 'trailer', 'barrier',
+        'motorcycle', 'bicycle', 'pedestrian', 'traffic_cone')))
+    predictions, ground_truth = {}, {}
+    det_preds, det_gt = {}, {}
+    motion_m = MotionMetric()
+    tp = cfg['model'].get('planning_steps', 6)
+    plan_m = PlanningMetric(n_future=tp)
+
+    tracks = None
+    prev_bev = prev0
+    cur_scene = None
+    filter_thresh = cfg['model'].get('filter_score_thresh', 0.35)
+    for i in range(n):
+        frames, targets, command = dataset[i]
+        scene = dataset.data_infos[dataset.usable_index[i]]['scene_token']
+        if scene != cur_scene:
+            tracks, prev_bev, cur_scene = None, prev0, scene
+            prev_exists = jnp.zeros((bs,), bool)
+        else:
+            prev_exists = jnp.ones((bs,), bool)
+        out = stream_fn(params, frames, tracks, prev_bev, prev_exists,
+                        command)
+        tracks = out['tracks']
+        prev_bev = out['bev']
+
+        tr = jax.tree.map(np.asarray, tracks)
+        sel = (tr.obj_idxes[0] >= 0) & (tr.scores[0] >= filter_thresh)
+        boxes9 = np.asarray(denormalize_bbox(
+            jnp.asarray(tr.pred_boxes[0])))
+        tok = f's{i}'
+        predictions[tok] = dict(
+            boxes=boxes9[sel], scores=tr.scores[0][sel],
+            labels=tr.pred_logits[0].argmax(-1)[sel],
+            track_ids=tr.obj_idxes[0][sel])
+        g = int(targets.num_valid_gt[0])
+        gt_ids = (np.asarray(targets.track_ids[0, -1])[:g]
+                  if targets.track_ids is not None else np.arange(g))
+        ground_truth[tok] = dict(
+            boxes=np.asarray(targets.gt_boxes[0])[:g],
+            labels=np.asarray(targets.gt_labels[0])[:g],
+            track_ids=gt_ids, scene=scene)
+        det_preds[tok] = {k: predictions[tok][k]
+                          for k in ('boxes', 'scores', 'labels')}
+        det_gt[tok] = {k: ground_truth[tok][k] for k in ('boxes', 'labels')}
+
+        # ---- motion metric: align agents to gt via Hungarian ----
+        gt_norm = normalize_bbox(targets.gt_boxes)
+        assigned = np.asarray(_track_assign(
+            tracks.pred_logits, tracks.pred_boxes, gt_norm,
+            targets.gt_labels, targets.num_valid_gt))[0]
+        trajs = np.asarray(out['motion']['all_traj_preds'][-1])[0, :-1,
+                                                               ..., :2]
+        scores_m = np.asarray(out['motion']['all_traj_scores'][-1])[0, :-1]
+        pos = assigned >= 0
+        safe = np.clip(assigned, 0, targets.gt_traj.shape[1] - 1)
+        motion_m.update(trajs, scores_m,
+                        np.asarray(targets.gt_traj[0])[safe],
+                        np.asarray(targets.gt_traj_valid[0])[safe],
+                        agent_mask=pos.astype(np.float32))
+
+        # ---- planning metric: collision vs gt occupancy ----
+        seg = np.asarray(targets.gt_occ[0]).max(axis=0)       # [To, H, W]
+        t_occ, hh, ww = seg.shape
+        seg_t = np.zeros((tp, 200, 200), np.float32)
+        yi = (np.arange(200) * hh) // 200
+        xi = (np.arange(200) * ww) // 200
+        for t in range(min(tp, t_occ)):
+            seg_t[t] = seg[t][yi][:, xi]
+        plan_m.update(np.asarray(out['plan']['sdc_traj'])[:, :tp],
+                      np.asarray(targets.sdc_traj[:, :tp, :2]),
+                      np.asarray(targets.sdc_mask[:, :tp]), seg_t[None])
+
+    metrics = {}
+    metrics.update(evaluate_tracking(predictions, ground_truth, classes))
+    det = evaluate_detection(det_preds, det_gt, classes)
+    metrics['NDS'] = det.get('NDS', 0.0)
+    metrics['mAP'] = det.get('mAP', 0.0)
+    metrics.update(motion_m.compute())
+    plan = plan_m.compute()
+    metrics['planning.L2'] = float(np.mean(plan['L2']))
+    metrics['planning.obj_box_col'] = float(np.mean(plan['obj_box_col']))
+    for k, v in metrics.items():
+        print(f'{k}: {float(v):.4f}')
+    if args.out:
+        with open(args.out, 'w') as f:
+            json.dump({k: float(v) for k, v in metrics.items()}, f,
+                      indent=2)
     return metrics
 
 
@@ -153,7 +328,7 @@ def run_val_evaluation(cfg, model, params, max_samples=None):
         metrics = evaluate_detection(
             predictions, ground_truth,
             tuple(val_cfg.get('classes', default_classes)))
-        metrics['key_score'] = metrics.get('nds', 0.0)
+        metrics['key_score'] = metrics.get('NDS', 0.0)
         return metrics
 
     batch0 = dataset[0]
@@ -188,6 +363,8 @@ def main():
     dataset = build_dataset(cfg['data']['test'])
     if cfg['model'].get('type', 'ViDAR') == 'BEVFormer':
         return det_eval(args, cfg, model, dataset)
+    if cfg['model'].get('type', 'ViDAR') == 'UniAD':
+        return uniad_eval(args, cfg, model, dataset)
     if cfg['model'].get('_submission'):
         args.submission = True
         args.submission_path = cfg['model'].get('_submission_path',
