@@ -271,6 +271,103 @@ def _map_fpn(sd, prefix='img_neck.') -> Dict[str, Any]:
     return out
 
 
+def _map_mha(sd, src, num_heads: int = 8) -> Dict[str, Any]:
+    """torch nn.MultiheadAttention -> flax MultiHeadDotProductAttention.
+
+    in_proj_weight [3C, C] splits into q/k/v [C, C]; flax stores
+    kernel [C, heads, head_dim] (input-major) and out kernel
+    [heads, head_dim, C]."""
+    if f'{src}.attn.in_proj_weight' not in sd:
+        return {}
+    w = np.asarray(sd[f'{src}.attn.in_proj_weight'], np.float32)
+    b = np.asarray(sd[f'{src}.attn.in_proj_bias'], np.float32)
+    c = w.shape[1]
+    hd = c // num_heads
+    out: Dict[str, Any] = {}
+    for i, name in enumerate(('query', 'key', 'value')):
+        out[name] = {
+            'kernel': w[i * c:(i + 1) * c].T.reshape(c, num_heads, hd),
+            'bias': b[i * c:(i + 1) * c].reshape(num_heads, hd)}
+    ow = np.asarray(sd[f'{src}.attn.out_proj.weight'], np.float32)
+    ob = np.asarray(sd[f'{src}.attn.out_proj.bias'], np.float32)
+    out['out'] = {'kernel': ow.T.reshape(num_heads, hd, c), 'bias': ob}
+    return out
+
+
+def _map_det_decoder_layer(sd, src) -> Dict[str, Any]:
+    """DetectionTransformerDecoder layer (reference modules/decoder.py:
+    52-345): MHA self-attn + CustomMSDeformableAttention cross-attn."""
+    out: Dict[str, Any] = {}
+    mha = _map_mha(sd, f'{src}.attentions.0')
+    if mha:
+        out['self_attn'] = mha
+    cross: Dict[str, Any] = {'proj': _map_deform_proj(
+        sd, f'{src}.attentions.1')}
+    _map_dense(sd, f'{src}.attentions.1.output_proj', cross, 'output_proj')
+    out['cross_attn'] = cross
+    for i in range(3):
+        _map_ln(sd, f'{src}.norms.{i}', out, f'norms_{i}')
+    out['ffns_0'] = _map_ffn(sd, f'{src}.ffns.0')
+    return out
+
+
+def map_det_head_state_dict(sd: Mapping[str, np.ndarray], *,
+                            num_decoder_layers: int = 6,
+                            num_reg_fcs: int = 2,
+                            prefix: str = 'pts_bbox_head.'
+                            ) -> Dict[str, Any]:
+    """Reference fine-tune ``BEVFormerHead`` (DETR det head) -> our
+    ``pts_bbox_head_det`` subtree (reference bevformer_head.py:63-110:
+    cls branch = [Linear, LN, ReLU] x num_reg_fcs + Linear; reg branch =
+    [Linear, ReLU] x num_reg_fcs + Linear)."""
+    out: Dict[str, Any] = {}
+    if f'{prefix}query_embedding.weight' not in sd:
+        return out
+    out['query_embedding'] = np.asarray(
+        sd[f'{prefix}query_embedding.weight'], np.float32)
+    _map_dense(sd, f'{prefix}transformer.reference_points', out,
+               'reference_points')
+    for lid in range(num_decoder_layers):
+        layer = _map_det_decoder_layer(
+            sd, f'{prefix}transformer.decoder.layers.{lid}')
+        if layer:
+            out[f'layers_{lid}'] = layer
+        # cls Sequential indices: Linear at 3k, LN at 3k+1; final at 3n
+        for i in range(num_reg_fcs):
+            _map_linear(sd, f'{prefix}cls_branches.{lid}.{3 * i}',
+                        out.setdefault(f'cls_branches_{lid}_fc{i}', {}))
+            _map_ln(sd, f'{prefix}cls_branches.{lid}.{3 * i + 1}', out,
+                    f'cls_branches_{lid}_ln{i}')
+        _map_linear(sd, f'{prefix}cls_branches.{lid}.{3 * num_reg_fcs}',
+                    out.setdefault(f'cls_branches_{lid}_out', {}))
+        # reg Sequential indices: Linear at 2k; final at 2n
+        for i in range(num_reg_fcs):
+            _map_linear(sd, f'{prefix}reg_branches.{lid}.{2 * i}',
+                        out.setdefault(f'reg_branches_{lid}_fc{i}', {}))
+        _map_linear(sd, f'{prefix}reg_branches.{lid}.{2 * num_reg_fcs}',
+                    out.setdefault(f'reg_branches_{lid}_out', {}))
+    return {k: v for k, v in out.items()
+            if not (isinstance(v, dict) and not v)}
+
+
+class RecordingDict(dict):
+    """Wraps a state_dict and records which keys were read — the import
+    shim's completeness ledger (``unconsumed()`` lists reference tensors no
+    mapping rule touched)."""
+
+    def __init__(self, data):
+        super().__init__(data)
+        self.read = set()
+
+    def __getitem__(self, k):
+        self.read.add(k)
+        return super().__getitem__(k)
+
+    def unconsumed(self, ignore_suffixes=('num_batches_tracked',)):
+        return sorted(k for k in self if k not in self.read and
+                      not any(k.endswith(s) for s in ignore_suffixes))
+
+
 def map_vidar_state_dict(sd: Mapping[str, np.ndarray], *,
                          depth: int = 101,
                          stage_with_dcn=(False, False, True, True),
@@ -331,6 +428,16 @@ def map_vidar_state_dict(sd: Mapping[str, np.ndarray], *,
             _map_linear(sd, f'future_pred_head.bev_pred_head.{lvl}.0',
                         fh.setdefault(f'bev_pred_head_{lvl}_out', {}))
         out['future_pred_head'] = fh
+
+    # --- fine-tune detection head (reference bevformer_head.py) ---
+    det = map_det_head_state_dict(sd)
+    if det:
+        out['pts_bbox_head_det'] = det
+    if 'pts_bbox_head' in out:
+        # the BEVFormer fine-tune model names its encoder head
+        # pts_bbox_head_bev (the reference shares one pts_bbox_head module;
+        # grafting skips whichever alias the target tree lacks)
+        out['pts_bbox_head_bev'] = out['pts_bbox_head']
     return out
 
 
@@ -355,6 +462,7 @@ def import_torch_checkpoint(pth_path: str, params, *,
         sd = {('img_backbone.' + k[len('backbone.'):]
                if k.startswith('backbone.') else k): v for k, v in sd.items()}
 
+    sd = RecordingDict(sd)
     mapped = map_vidar_state_dict(sd, depth=depth,
                                   stage_with_dcn=stage_with_dcn)
 
@@ -379,6 +487,10 @@ def import_torch_checkpoint(pth_path: str, params, *,
 
     graft(flat_params['params'], mapped)
     if strict_report:
+        left = sd.unconsumed()
         print(f"torch import: {stats['matched']} tensors grafted, "
-              f"{stats['shape_mismatch']} shape mismatches")
+              f"{stats['shape_mismatch']} shape mismatches, "
+              f"{len(left)} reference tensors unmapped")
+        for k in left[:20]:
+            print(f'  unmapped: {k}')
     return flat_params
