@@ -136,15 +136,36 @@ class BEVFormerHead(nn.Module):
             x = nn.relu(fc(x))
         return self.reg_branches[lid][-1](x)
 
-    def __call__(self, bev_embed, *, deterministic: bool = True):
-        """bev_embed: [bs, H*W, C] -> dict with all_cls_scores/all_bbox_preds."""
+    def __call__(self, bev_embed, *, query_embeds=None, ref_points=None,
+                 deterministic: bool = True):
+        """bev_embed: [bs, H*W, C] -> dict with all_cls_scores/all_bbox_preds.
+
+        Args:
+          query_embeds: optional [bs, Q, 2C] external (track) queries —
+            persistent track queries enter the decoder here (reference
+            uniad_track.py get_detections passes track_instances.query).
+          ref_points: optional [bs, Q, 3] sigmoid-space reference points
+            (track queries carry their motion-compensated refs).
+
+        Also returns ``query_feats`` (the last decoder layer's query
+        embeddings, [bs, Q, C]) and ``last_ref_points`` ([bs, Q, 3]
+        sigmoid-space) — the tracker state the QIM/motion heads consume
+        (reference det_output['query_feats'/'last_ref_points']).
+        """
         bs = bev_embed.shape[0]
-        qe = self.query_embedding.astype(bev_embed.dtype)
-        query_pos, query = jnp.split(qe, 2, axis=1)
-        query_pos = jnp.broadcast_to(query_pos[None], (bs,) + query_pos.shape)
-        query = jnp.broadcast_to(query[None], (bs,) + query.shape)
+        if query_embeds is None:
+            qe = self.query_embedding.astype(bev_embed.dtype)
+            query_pos, query = jnp.split(qe, 2, axis=1)
+            query_pos = jnp.broadcast_to(query_pos[None],
+                                         (bs,) + query_pos.shape)
+            query = jnp.broadcast_to(query[None], (bs,) + query.shape)
+        else:
+            query_pos, query = jnp.split(
+                query_embeds.astype(bev_embed.dtype), 2, axis=-1)
         reference_points = jax.nn.sigmoid(
             self.reference_points_fc(query_pos))  # [bs, Q, 3]
+        if ref_points is not None:
+            reference_points = ref_points
 
         pc = self.pc_range
         cls_out = []
@@ -176,7 +197,9 @@ class BEVFormerHead(nn.Module):
                 ref = jax.lax.stop_gradient(new_ref)
         return dict(all_cls_scores=jnp.stack(cls_out),
                     all_bbox_preds=jnp.stack(bbox_out),
-                    bev_embed=bev_embed)
+                    bev_embed=bev_embed,
+                    query_feats=query,
+                    last_ref_points=ref)
 
     # ----------------------------------------------------------------- loss
 
