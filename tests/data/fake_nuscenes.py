@@ -9,10 +9,28 @@ import pickle
 import numpy as np
 
 
+def _write_pcd_binary(path: str, pts: np.ndarray) -> None:
+    """Binary PCD (x y z intensity, F4) like OpenScene's MergedPointCloud
+    files (reference pipelines/nuplan_loading.py PCD parser input)."""
+    n = len(pts)
+    header = (
+        '# .PCD v0.7 - Point Cloud Data file format\n'
+        'VERSION 0.7\nFIELDS x y z intensity\nSIZE 4 4 4 4\n'
+        'TYPE F F F F\nCOUNT 1 1 1 1\n'
+        f'WIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\n'
+        f'POINTS {n}\nDATA binary\n')
+    with open(path, 'wb') as f:
+        f.write(header.encode('ascii'))
+        f.write(np.ascontiguousarray(pts[:, :4], np.float32).tobytes())
+
+
 def make_fake_nuscenes(root: str, *, num_samples: int = 10, num_cams: int = 3,
                        img_hw=(64, 96), with_gt: bool = True,
-                       num_scenes: int = 1, seed: int = 0) -> str:
-    """Create a fake dataset under ``root``; returns the train pkl path."""
+                       num_scenes: int = 1, seed: int = 0,
+                       lidar_format: str = 'bin') -> str:
+    """Create a fake dataset under ``root``; returns the train pkl path.
+    ``lidar_format='pcd'`` emits OpenScene-style binary PCD files instead of
+    nuScenes .bin, for driving NuPlanViDARDataset."""
     from PIL import Image
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(root, 'samples'), exist_ok=True)
@@ -27,11 +45,15 @@ def make_fake_nuscenes(root: str, *, num_samples: int = 10, num_cams: int = 3,
         yaw = 0.02 * i
         quat = [np.cos(yaw / 2), 0.0, 0.0, np.sin(yaw / 2)]
 
-        lidar_path = os.path.join(root, 'samples', f'lidar_{i}.bin')
         pts = rng.uniform(-30, 30, (256, 5)).astype(np.float32)
         pts[:, 2] = rng.uniform(-2, 2, 256)
         pts[:, 3:] = 0
-        pts.tofile(lidar_path)
+        if lidar_format == 'pcd':
+            lidar_path = os.path.join(root, 'samples', f'lidar_{i}.pcd')
+            _write_pcd_binary(lidar_path, pts)
+        else:
+            lidar_path = os.path.join(root, 'samples', f'lidar_{i}.bin')
+            pts.tofile(lidar_path)
 
         cams = {}
         for c in range(num_cams):

@@ -79,8 +79,10 @@ class NuPlanViDARDataset(NuScenesViDARDataset):
 
     def __init__(self, *args, image_scale: float = 2.0 / 3, **kwargs):
         kwargs.setdefault('ida_aug_conf', None)
-        self.image_scale = image_scale
         super().__init__(*args, **kwargs)
+        # applied to images + lidar2img in the shared image loop
+        # (reference RandomScaleImageMultiViewImage 2/3, transform_3d.py:294)
+        self.image_scale = image_scale
 
     def _load_frame_points(self, info) -> np.ndarray:
         path = info['lidar_path']

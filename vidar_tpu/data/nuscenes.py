@@ -62,6 +62,7 @@ class NuScenesViDARDataset:
                  bev_size=(200, 200),
                  pc_range=(-51.2, -51.2, -5.0, 51.2, 51.2, 3.0),
                  ida_aug_conf: Optional[Dict] = None,
+                 random_aug_conf: Optional[Dict] = None,
                  max_points: int = 163840,
                  img_norm_mean=(103.530, 116.280, 123.675),
                  img_norm_std=(1.0, 1.0, 1.0),
@@ -75,6 +76,11 @@ class NuScenesViDARDataset:
         self.bev_size = bev_size
         self.pc_range = pc_range
         self.ida_aug_conf = ida_aug_conf
+        # RandomCropResizeFlipImage (reference augmentation.py:204; the
+        # mem-efficient config's aug) — mutually exclusive with ida_aug_conf
+        self.random_aug_conf = random_aug_conf
+        # OpenScene/nuPlan image scaling; set by NuPlanViDARDataset
+        self.image_scale: Optional[float] = None
         self.max_points = max_points
         self.img_norm_mean = img_norm_mean
         self.img_norm_std = img_norm_std
@@ -283,6 +289,7 @@ class NuScenesViDARDataset:
         imgs_all = []
         lidar2img = []
         aug = None
+        rcrf = None
         for k, j in enumerate(prev_idx):
             m = metas[j]
             imgs = pl.load_multiview_images(m['cam_paths'])
@@ -297,6 +304,16 @@ class NuScenesViDARDataset:
                 l2i = np.einsum('cij,cjk->cik',
                                 viewpad @ np.linalg.inv(m['intrinsics']),
                                 l2i)
+            if self.random_aug_conf is not None:
+                # shared across the queue (reference aug_param contract,
+                # augmentation.py:272-276)
+                if rcrf is None:
+                    rcrf = pl.sample_random_crop_resize_flip(
+                        self.rng, self.random_aug_conf, not self.test_mode)
+                imgs, l2i = pl.random_crop_resize_flip(imgs, l2i, rcrf)
+            if self.image_scale:
+                # OpenScene 2/3 scaling (reference transform_3d.py:294)
+                imgs, l2i = pl.scale_images(imgs, l2i, self.image_scale)
             if not self.test_mode:
                 imgs = pl.photometric_distortion(imgs, self.rng)
             if native.available():

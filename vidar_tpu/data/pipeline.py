@@ -195,6 +195,177 @@ def crop_resize_flip(imgs: np.ndarray, cam2img: np.ndarray,
     return out, cam2img
 
 
+def scale_images(imgs: np.ndarray, lidar2img: np.ndarray, scale: float):
+    """RandomScaleImageMultiViewImage (reference transform_3d.py:294-328):
+    resize every view by ``scale`` and left-multiply lidar2img with
+    diag(scale, scale, 1, 1). The OpenScene/nuPlan configs run this with a
+    single scale of 2/3."""
+    from PIL import Image
+    cams, h, w, _ = imgs.shape
+    nh, nw = int(h * scale), int(w * scale)
+    out = np.stack([
+        np.asarray(Image.fromarray(im.astype(np.uint8)).resize((nw, nh)),
+                   np.float32) for im in imgs])
+    sf = np.eye(4)
+    sf[0, 0] = scale
+    sf[1, 1] = scale
+    return out, np.einsum('ij,cjk->cik', sf, lidar2img)
+
+
+class RandomCropResizeFlipParams:
+    def __init__(self, resize: float, resize_dims: Tuple[int, int],
+                 crop: Tuple[int, int, int, int], flip: bool):
+        self.resize = resize
+        self.resize_dims = resize_dims   # (new_w, new_h)
+        self.crop = crop                 # (x0, y0, x1, y1)
+        self.flip = flip
+
+
+def sample_random_crop_resize_flip(rng: np.random.Generator,
+                                   data_aug_conf: Dict,
+                                   training: bool
+                                   ) -> RandomCropResizeFlipParams:
+    """Reference RandomCropResizeFlipImage._sample_augmentation
+    (augmentation.py:272-302): random resize height from 'reisze', bottom
+    crop of the fixed (fW, fH) window with a random horizontal offset,
+    optional horizontal flip. Shared across the queue (aug_param
+    contract)."""
+    h, w = data_aug_conf['H'], data_aug_conf['W']
+    crop_cfg = data_aug_conf['crop']
+    f_w, f_h = int(crop_cfg[2] - crop_cfg[0]), int(crop_cfg[3] - crop_cfg[1])
+    if training:
+        resized_h = float(rng.choice(data_aug_conf['reisze']))
+        resize = resized_h / h
+        resize_dims = (int(resized_h / h * w), int(resized_h))
+        new_w, new_h = resize_dims
+        crop_h = int(max(0, new_h - f_h))
+        crop_w = int(rng.uniform(0, max(0, new_w - f_w)))
+        crop = (crop_w, crop_h, crop_w + f_w, crop_h + f_h)
+        flip = bool(data_aug_conf.get('rand_flip', False) and
+                    rng.integers(2))
+    else:
+        # eval branch (augmentation.py:294-299): resize is relative to the
+        # crop window height and the configured crop tuple is kept as-is
+        sizes = data_aug_conf['reisze']
+        assert len(sizes) == 1
+        resized_h = float(sizes[0])
+        resize = resized_h / f_h
+        resize_dims = (int(resized_h / f_h * f_w), int(resized_h))
+        crop = tuple(int(v) for v in crop_cfg)
+        flip = False
+    return RandomCropResizeFlipParams(resize, resize_dims, crop, flip)
+
+
+def random_crop_resize_flip(imgs: np.ndarray, lidar2img: np.ndarray,
+                            p: RandomCropResizeFlipParams):
+    """Apply a sampled RandomCropResizeFlipImage to all views and fold the
+    pixel-space affine into lidar2img (the reference updates cam2img with
+    ida_mat and rebuilds lidar2img, augmentation.py:230-248; flip is folded
+    into the geometry directly, matching this repo's CropResizeFlip
+    re-design instead of the reference's unflip-on-features)."""
+    from PIL import Image
+    out = []
+    for c in range(imgs.shape[0]):
+        im = Image.fromarray(imgs[c].astype(np.uint8))
+        im = im.resize(p.resize_dims)
+        im = im.crop(p.crop)
+        if p.flip:
+            im = im.transpose(Image.FLIP_LEFT_RIGHT)
+        out.append(np.asarray(im, np.float32))
+    out = np.stack(out)
+
+    a = np.eye(4)
+    a[0, 0] = a[1, 1] = p.resize
+    a[0, 2] = -p.crop[0]
+    a[1, 2] = -p.crop[1]
+    if p.flip:
+        fw = out.shape[2]
+        f = np.eye(4)
+        f[0, 0] = -1.0
+        f[0, 2] = fw
+        a = f @ a
+    return out, np.einsum('ij,cjk->cik', a, lidar2img)
+
+
+class BEVAugParams:
+    def __init__(self, rot_angle: float, scale_ratio: float,
+                 flip_dx: bool, flip_dy: bool):
+        self.rot_angle = rot_angle
+        self.scale_ratio = scale_ratio
+        self.flip_dx = flip_dx
+        self.flip_dy = flip_dy
+
+    @property
+    def mat4(self) -> np.ndarray:
+        """Combined lidar-space transform T (points' = T @ points)."""
+        c, s = np.cos(self.rot_angle), np.sin(self.rot_angle)
+        rot = np.array([[c, -s, 0, 0], [s, c, 0, 0],
+                        [0, 0, 1, 0], [0, 0, 0, 1.0]])
+        sc = np.diag([self.scale_ratio] * 3 + [1.0])
+        fl = np.eye(4)
+        if self.flip_dx:
+            fl[0, 0] = -1.0
+        if self.flip_dy:
+            fl[1, 1] = -1.0
+        return fl @ sc @ rot
+
+
+def sample_bev_aug(rng: np.random.Generator,
+                   rot_range=(-0.3925, 0.3925),
+                   scale_ratio_range=(0.95, 1.05),
+                   flip_dx_ratio: float = 0.5,
+                   flip_dy_ratio: float = 0.5) -> BEVAugParams:
+    """GlobalRotScaleTransImage sampling (augmentation.py:368-380). The
+    reference's rot_range is interpreted in degrees (divided by 180*pi at
+    sample time) — same here."""
+    return BEVAugParams(
+        rot_angle=float(rng.uniform(*rot_range)) / 180.0 * np.pi,
+        scale_ratio=float(rng.uniform(*scale_ratio_range)),
+        flip_dx=bool(rng.uniform() < flip_dx_ratio),
+        flip_dy=bool(rng.uniform() < flip_dy_ratio))
+
+
+def bev_aug_lidar2img(lidar2img: np.ndarray, p: BEVAugParams) -> np.ndarray:
+    """lidar2img' = lidar2img @ T^-1 so projecting a transformed point
+    lands on the original pixel (reference rotate_bev_along_z / scale_xyz /
+    flip_along_*, augmentation.py:404-460)."""
+    return np.einsum('cij,jk->cik', lidar2img, np.linalg.inv(p.mat4))
+
+
+def bev_aug_boxes(boxes9: np.ndarray, p: BEVAugParams) -> np.ndarray:
+    """Transform [N, 9] (cx cy cz w l h rot vx vy) gt boxes by T
+    (reference gt_bboxes_3d.rotate/scale/flip semantics)."""
+    out = boxes9.copy()
+    if not len(out):
+        return out
+    t = p.mat4
+    centers = np.concatenate([out[:, :3], np.ones((len(out), 1))], 1)
+    out[:, :3] = (centers @ t.T)[:, :3]
+    out[:, 3:6] *= p.scale_ratio
+    yaw = out[:, 6] + p.rot_angle
+    # velocity is a direction vector: rotate/scale/flip, no translation
+    # (mmdet3d LiDARInstance3DBoxes.rotate/scale/flip semantics)
+    vel3 = np.concatenate([out[:, 7:9], np.zeros((len(out), 1))], 1)
+    vel = (vel3 @ t[:3, :3].T)[:, :2]
+    if p.flip_dx:
+        yaw = np.pi - yaw
+    if p.flip_dy:
+        yaw = -yaw
+    out[:, 6] = yaw
+    out[:, 7:9] = vel
+    return out
+
+
+def bev_aug_points(points: np.ndarray, p: BEVAugParams) -> np.ndarray:
+    """Transform [N, >=3] lidar points by T."""
+    out = points.copy()
+    if not len(out):
+        return out
+    xyz1 = np.concatenate([out[:, :3], np.ones((len(out), 1))], 1)
+    out[:, :3] = (xyz1 @ p.mat4.T)[:, :3]
+    return out
+
+
 def normalize_images(imgs: np.ndarray,
                      mean=(103.530, 116.280, 123.675),
                      std=(1.0, 1.0, 1.0), to_bgr: bool = True) -> np.ndarray:

@@ -49,6 +49,7 @@ class BEVFormer(nn.Module):
     encoder_num_layers: int = 6
     latent_render_lids: Tuple[int, ...] = (2,)
     latent_render_cfg: Optional[dict] = None
+    sca_capacity_ratio: float = 0.5
     dtype: jnp.dtype | None = None
 
     def setup(self):
@@ -65,6 +66,7 @@ class BEVFormer(nn.Module):
             latent_render_lids=self.latent_render_lids,
             latent_render_cfg=self.latent_render_cfg,
             encoder_num_layers=self.encoder_num_layers,
+            sca_capacity_ratio=self.sca_capacity_ratio,
             dtype=self.dtype, name='pts_bbox_head_bev')
         self.det_head = BEVFormerHead(
             num_classes=self.num_classes, num_query=self.num_query,

@@ -108,6 +108,7 @@ class BEVFormerLayer(nn.Module):
     num_cams: int = 6
     sca_num_levels: int = 4
     sca_num_points: int = 8
+    sca_capacity_ratio: float = 0.5
     tsa_num_points: int = 4
     with_latent_render: bool = False
     latent_render_cfg: Optional[dict] = None
@@ -134,6 +135,7 @@ class BEVFormerLayer(nn.Module):
             embed_dims=self.embed_dims, num_cams=self.num_cams,
             deform_num_levels=self.sca_num_levels,
             deform_num_points=self.sca_num_points,
+            capacity_ratio=self.sca_capacity_ratio,
             dtype=self.dtype, name='attentions_1')(
                 query, cam_value, ref_cam, bev_mask, spatial_shapes,
                 deterministic=deterministic)
@@ -163,6 +165,7 @@ class BEVFormerEncoder(nn.Module):
     ffn_dropout: float = 0.1
     sca_num_levels: int = 4
     sca_num_points: int = 8
+    sca_capacity_ratio: float = 0.5
     latent_render_lids: Tuple[int, ...] = (2,)
     latent_render_cfg: Optional[dict] = None
     remat: bool = False
@@ -223,6 +226,7 @@ class BEVFormerEncoder(nn.Module):
                 num_cams=self.num_cams,
                 sca_num_levels=self.sca_num_levels,
                 sca_num_points=self.sca_num_points,
+                sca_capacity_ratio=self.sca_capacity_ratio,
                 with_latent_render=(lid in self.latent_render_lids),
                 latent_render_cfg=self.latent_render_cfg,
                 bev_h=self.bev_h, bev_w=self.bev_w,

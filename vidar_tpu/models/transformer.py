@@ -42,6 +42,7 @@ class PerceptionTransformer(nn.Module):
     encoder_num_layers: int = 6
     latent_render_lids: Tuple[int, ...] = (2,)
     latent_render_cfg: Optional[dict] = None
+    sca_capacity_ratio: float = 0.5
     remat: bool = False
     ffn_dropout: float = 0.1
     rotate_mode: str = 'nearest'  # torchvision parity; 'bilinear' available
@@ -65,6 +66,7 @@ class PerceptionTransformer(nn.Module):
             feedforward_channels=self.embed_dims * 2,
             ffn_dropout=self.ffn_dropout,
             sca_num_levels=self.num_feature_levels,
+            sca_capacity_ratio=self.sca_capacity_ratio,
             latent_render_lids=self.latent_render_lids,
             latent_render_cfg=self.latent_render_cfg,
             remat=self.remat,
@@ -147,6 +149,7 @@ class BEVEncoderHead(nn.Module):
     latent_render_lids: Tuple[int, ...] = (2,)
     latent_render_cfg: Optional[dict] = None
     encoder_num_layers: int = 6
+    sca_capacity_ratio: float = 0.5
     rotate_mode: str = 'nearest'
     remat: bool = False
     dtype: jnp.dtype | None = None
@@ -168,6 +171,7 @@ class BEVEncoderHead(nn.Module):
             latent_render_lids=self.latent_render_lids,
             latent_render_cfg=self.latent_render_cfg,
             encoder_num_layers=self.encoder_num_layers,
+            sca_capacity_ratio=self.sca_capacity_ratio,
             rotate_mode=self.rotate_mode,
             remat=self.remat,
             dtype=self.dtype, name='transformer')

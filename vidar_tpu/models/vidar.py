@@ -75,6 +75,7 @@ class ViDAR(nn.Module):
     encoder_num_layers: int = 6
     latent_render_lids: Tuple[int, ...] = (2,)
     latent_render_cfg: Optional[dict] = None
+    sca_capacity_ratio: float = 0.5
     rotate_mode: str = 'nearest'
     remat: bool = False
     dtype: jnp.dtype | None = None
@@ -94,6 +95,7 @@ class ViDAR(nn.Module):
             latent_render_lids=self.latent_render_lids,
             latent_render_cfg=self.latent_render_cfg,
             encoder_num_layers=self.encoder_num_layers,
+            sca_capacity_ratio=self.sca_capacity_ratio,
             rotate_mode=self.rotate_mode,
             remat=self.remat,
             dtype=self.dtype, name='pts_bbox_head')
