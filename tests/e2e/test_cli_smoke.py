@@ -71,3 +71,22 @@ def test_train_cli_multichip(tmp_path):
     for line in steps:
         m = json.loads(line.split('] ', 1)[1])
         assert m['loss'] == m['loss'], line  # not NaN
+
+
+def test_eval_cli_sharded(tmp_path):
+    """Sharded forecast eval: 8 virtual devices, 5 samples (one chunk with
+    tail padding) — every local device must be fed (reference
+    apis/test.py:45-161 multi-GPU test)."""
+    from tests.data.fake_nuscenes import make_fake_nuscenes
+    pkl = make_fake_nuscenes(str(tmp_path / 'data'), num_samples=8,
+                             num_cams=3, img_hw=(32, 64))
+    cfg = os.path.join(REPO, 'configs', 'tiny', 'vidar_tiny.py')
+    r = _run(['vidar_tpu.tools.test', cfg,
+              '--max-samples', '5',
+              '--cfg-options', f'data.test.ann_file={pkl}',
+              f'data.train.ann_file={pkl}'], cwd=str(tmp_path),
+             extra_env={'XLA_FLAGS':
+                        '--xla_force_host_platform_device_count=8'})
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert '[5/5]' in r.stdout, r.stdout[-2000:]
+    assert 'chamfer' in r.stdout.lower() or 'frame' in r.stdout.lower()

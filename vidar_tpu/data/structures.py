@@ -54,3 +54,17 @@ class DetBatch:
     gt_bboxes: Array    # [bs, G, 9] (cx cy cz w l h rot vx vy), zero-padded
     gt_labels: Array    # [bs, G] int32 class ids; padding entries arbitrary
     num_valid_gt: Array  # [bs] int32
+
+
+def collate_samples(items):
+    """Stack bs=1 sample pytrees into one global batch (axis-0 concat).
+
+    The TPU equivalent of the reference's DataLoader collate: the ``data``
+    mesh axis is fed one sample per device (reference trains bs=1/GPU,
+    datasets/builder.py:19-94). Used by both the train CLI's global-batch
+    assembly and the sharded eval loop (reference apis/test.py:45-161)."""
+    import jax
+    import jax.numpy as jnp
+    if len(items) == 1:
+        return items[0]
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *items)

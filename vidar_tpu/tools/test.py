@@ -390,19 +390,43 @@ def main():
                              num_future=num_future)
     n = min(len(dataset), args.max_samples or len(dataset))
     num_frames = num_future + 1
+
+    # Sharded eval (reference apis/test.py:45-161 multi-GPU test + gather):
+    # every local device evaluates one sample per step — samples are
+    # collated into a bs=n_dev global batch sharded over the 1-D data mesh,
+    # host metrics trim any wrap-around tail padding.
+    import jax
+    from ..parallel import make_mesh, shard_batch, replicated_sharding
+    from ..data.structures import collate_samples
+    from ..data.prefetch import PrefetchLoader
+    n_dev = jax.local_device_count()
+    mesh = make_mesh()
+    eval_fn.params = jax.device_put(params, replicated_sharding(mesh))
+    chunks = [(c0, min(n_dev, n - c0)) for c0 in range(0, n, n_dev)]
+    flat_idx = []
+    for c0, real in chunks:
+        flat_idx.extend(range(c0, c0 + real))
+        flat_idx.extend([c0 + real - 1] * (n_dev - real))  # pad the tail
+    loader = iter(PrefetchLoader(lambda i: dataset[i], flat_idx,
+                                 num_threads=4, depth=2 * n_dev))
     results = []
-    for i in range(n):
-        batch = dataset[i]
+    for ci, (c0, real) in enumerate(chunks):
+        batch = collate_samples([next(loader) for _ in range(n_dev)])
+        batch = shard_batch(batch, mesh)
         decode = eval_fn(batch)
+        if real < n_dev:  # drop tail padding before metrics
+            decode = jax.tree.map(lambda x: x[:real], decode)
         metrics = forecast_metrics(decode, cfg['model']['pc_range'],
                                    num_frames)
         results.append(metrics)
         if args.submission:
-            save_submission(np.asarray(decode['pred_dist'])[0],
-                            np.asarray(decode['frame_idx'])[0],
-                            f'sample{i}', args.submission_path)
-        if (i + 1) % 10 == 0:
-            print(f'[{i + 1}/{n}]')
+            for b in range(real):
+                save_submission(np.asarray(decode['pred_dist'])[b],
+                                np.asarray(decode['frame_idx'])[b],
+                                f'sample{c0 + b}', args.submission_path)
+        done = c0 + real
+        if done % 10 < real or done == n:
+            print(f'[{done}/{n}]')
 
     agg = aggregate_frame_metrics(results)
     for fk, fv in agg.items():

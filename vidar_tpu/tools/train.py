@@ -18,6 +18,8 @@ import time
 
 import numpy as np
 
+from ..data.structures import collate_samples
+
 
 def parse_args():
     p = argparse.ArgumentParser(description='Train a ViDAR model (TPU)')
@@ -32,19 +34,6 @@ def parse_args():
     p.add_argument('--max-steps', type=int, default=None,
                    help='override total steps (debug)')
     return p.parse_args()
-
-
-def collate_samples(items):
-    """Stack bs=1 sample pytrees into one global batch (axis-0 concat).
-
-    The TPU equivalent of the reference's DataLoader collate: the ``data``
-    mesh axis is fed one sample per device (reference trains bs=1/GPU,
-    datasets/builder.py:19-94)."""
-    import jax
-    import jax.numpy as jnp
-    if len(items) == 1:
-        return items[0]
-    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *items)
 
 
 def main():
