@@ -27,6 +27,8 @@ def main():
     import jax
     jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_cc')
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    from vidar_tpu.core.platform import select_backend
+    select_backend()
     from vidar_tpu.models import ViDAR
     from vidar_tpu.configs import vidar_base, vidar_tiny
     from vidar_tpu.data import make_synthetic_batch

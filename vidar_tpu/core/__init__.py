@@ -11,4 +11,6 @@ def enable_compilation_cache(path: str = None):
                                   os.path.expanduser('~/.cache/jax_cc'))
     jax.config.update('jax_compilation_cache_dir', path)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    from .platform import select_backend
+    select_backend()
     jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)

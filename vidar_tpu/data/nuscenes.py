@@ -425,14 +425,18 @@ class NuScenesDetDataset(NuScenesViDARDataset):
         vel = np.asarray(info.get('gt_velocity',
                                   np.zeros((0, 2))), np.float64)
         vel = np.nan_to_num(vel)
+        attrs = np.asarray(info['gt_attrs']) if 'gt_attrs' in info else \
+            np.full((len(boxes),), '', object)
         if self.use_valid_flag and 'valid_flag' in info:
             keep = np.asarray(info['valid_flag'], bool)
             boxes, names, vel = boxes[keep], names[keep], vel[keep]
+            attrs = attrs[keep]
         # class filter (ObjectNameFilter)
         labels = np.array([self.class_to_id.get(str(n), -1) for n in names],
                           np.int64)
         keep = labels >= 0
         boxes, vel, labels = boxes[keep], vel[keep], labels[keep]
+        attrs = attrs[keep]
         # BEV range filter (ObjectRangeFilter on pc_range)
         if len(boxes):
             keep = ((boxes[:, 0] >= self.pc_range[0]) &
@@ -440,18 +444,27 @@ class NuScenesDetDataset(NuScenesViDARDataset):
                     (boxes[:, 1] >= self.pc_range[1]) &
                     (boxes[:, 1] <= self.pc_range[4]))
             boxes, vel, labels = boxes[keep], vel[keep], labels[keep]
+            attrs = attrs[keep]
         # bottom-center z -> gravity center (LiDARInstance3DBoxes convention)
         out = np.zeros((len(boxes), 9))
         if len(boxes):
             out[:, :7] = boxes[:, :7]
             out[:, 2] = boxes[:, 2] + boxes[:, 5] * 0.5
             out[:, 7:9] = vel
-        return out, labels
+        return out, labels, attrs
+
+    def det_gt_attrs(self, i: int) -> np.ndarray:
+        """Attribute names aligned with sample i's (filtered, capped) gt —
+        host-side strings for the devkit-protocol mAAE (attributes cannot
+        ride the fixed-shape DetBatch)."""
+        info = self.data_infos[self.usable_index[i]]
+        _, _, attrs = self._gt_arrays(info)
+        return attrs[:self.max_gt]
 
     def __getitem__(self, i: int):
         frames = super().__getitem__(i)
         info = self.data_infos[self.usable_index[i]]
-        boxes, labels = self._gt_arrays(info)
+        boxes, labels, _ = self._gt_arrays(info)
         g = min(len(boxes), self.max_gt)
         gt = np.zeros((self.max_gt, 9), np.float32)
         lb = np.zeros((self.max_gt,), np.int32)

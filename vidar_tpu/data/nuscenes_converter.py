@@ -143,6 +143,11 @@ def create_nuscenes_infos(data_root: str, out_dir: str,
             annotations = _load_table(data_root, version, 'sample_annotation')
             instances = _index(_load_table(data_root, version, 'instance'))
             categories = _index(_load_table(data_root, version, 'category'))
+            try:
+                attr_name = {a['token']: a['name'] for a in _load_table(
+                    data_root, version, 'attribute')}
+            except FileNotFoundError:
+                attr_name = {}
             ann_index = _index(annotations)
             for inst_tok, inst in instances.items():
                 inst_category[inst_tok] = categories[
@@ -305,6 +310,12 @@ def create_nuscenes_infos(data_root: str, out_dir: str,
             info['gt_boxes'] = np.concatenate(
                 [locs, dims, -rots - np.pi / 2], axis=1)
             info['gt_names'] = np.asarray(names)
+            # attribute names for devkit-protocol mAAE ('' when the
+            # annotation carries none — cones/barriers)
+            info['gt_attrs'] = np.asarray([
+                attr_name.get(a['attribute_tokens'][0], '')
+                if a.get('attribute_tokens') else ''
+                for a in anns])
             # instance identity for tracking/motion gt (UniAD training)
             info['gt_instance_tokens'] = np.asarray(
                 [a['instance_token'] for a in anns])

@@ -126,14 +126,21 @@ def det_eval(args, cfg, model, dataset):
         else:
             det = eval_fn(params, batch.frames)
         valid = np.asarray(det['valid'])[0]
+        pred_boxes = np.asarray(det['bboxes'])[0][valid]
+        pred_labels = np.asarray(det['labels'])[0][valid]
+        from ..evals.detection import infer_attributes
         predictions[f's{i}'] = dict(
-            boxes=np.asarray(det['bboxes'])[0][valid],
+            boxes=pred_boxes,
             scores=np.asarray(det['scores'])[0][valid],
-            labels=np.asarray(det['labels'])[0][valid])
+            labels=pred_labels,
+            attrs=infer_attributes(pred_boxes, pred_labels, class_names))
         g = int(batch.num_valid_gt[0])
-        ground_truth[f's{i}'] = dict(
+        gt_entry = dict(
             boxes=np.asarray(batch.gt_bboxes)[0][:g],
             labels=np.asarray(batch.gt_labels)[0][:g])
+        if hasattr(dataset, 'det_gt_attrs'):
+            gt_entry['attrs'] = np.asarray(dataset.det_gt_attrs(i))[:g]
+        ground_truth[f's{i}'] = gt_entry
         if (i + 1) % 10 == 0:
             print(f'[{i + 1}/{n}]')
 
