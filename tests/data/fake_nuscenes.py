@@ -110,6 +110,10 @@ def make_fake_nuscenes(root: str, *, num_samples: int = 10, num_cams: int = 3,
             info['gt_instance_tokens'] = np.asarray(
                 [f'{scene}_inst{k}' for k in range(g)])
             info['gt_velocity'] = rng.uniform(-2, 2, (g, 2))
+            info['gt_attrs'] = np.asarray([
+                {'car': 'vehicle.parked', 'truck': 'vehicle.parked',
+                 'pedestrian': 'pedestrian.moving'}.get(str(nm), '')
+                for nm in names])
             info['num_lidar_pts'] = rng.integers(0, 50, g)
             info['num_radar_pts'] = np.zeros(g, np.int64)
             info['valid_flag'] = info['num_lidar_pts'] > 0

@@ -45,10 +45,16 @@ class ForecastRunner:
         prev_bev = jnp.zeros(
             (bs, self.model.bev_h * self.model.bev_w, self.model.embed_dims),
             jnp.float32)
+        # one backbone launch for the whole history window: frames are
+        # independent through the conv stack, and the 5x-larger conv batch
+        # keeps the MXU fed (the sequential BEV recurrence below is the only
+        # true frame dependency)
+        imgs = batch.images.reshape(bs * t * cams, h, w, 3)
+        feats_all = self._backbone(p, imgs)
+        feats_all = [x.reshape((bs, t, cams) + x.shape[1:])
+                     for x in feats_all]
         for f in range(t):
-            imgs = batch.images[:, f].reshape(bs * cams, h, w, 3)
-            feats = self._backbone(p, imgs)
-            feats = [x.reshape((bs, cams) + x.shape[1:]) for x in feats]
+            feats = [x[:, f] for x in feats_all]
             prev_bev = self._encode(
                 p, feats, batch.can_bus[:, f], batch.shift[:, f],
                 batch.rotate_angle[:, f], batch.lidar2img[:, f], prev_bev,

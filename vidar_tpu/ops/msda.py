@@ -546,15 +546,12 @@ def msdeform_attn(value: jnp.ndarray,
     if auto:
         impl = 'packed' if jax.default_backend() == 'cpu' else 'fused'
     if impl == 'fused':
-        samples = (sampling_locations.shape[3] *
-                   sampling_locations.shape[4])
         feasible = dim == 32 and _fused_plan(spatial_shapes) is not None
-        # Under 'auto' the kernel also needs enough samples/query to
-        # amortize the per-tile overhead (measured: TSA's L*P=4 runs
-        # 86 ms fused vs 57 ms atlas) — small-S calls ride the XLA atlas
-        # take instead. An explicit impl='fused' request bypasses the
-        # heuristic (tests rely on this to force the kernel).
-        if feasible and (samples >= 16 or not auto):
+        # Small-S calls ride the kernel too: an earlier measurement (86 ms
+        # fused vs 57 ms atlas at TSA's L*P=4) hit a pathological
+        # small-sample grid mode since fixed — re-measured 16 ms fused vs
+        # 57 ms atlas at the same shape (tools: benchmarks/msda_bench.py).
+        if feasible:
             return _msda_fused(tuple(spatial_shapes), value,
                                sampling_locations, attention_weights)
         impl = ('packed' if jax.default_backend() == 'cpu' else 'atlas')
