@@ -210,3 +210,42 @@ def test_msda_grad_finite():
 
     g = jax.grad(f)(value)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_msda_fused16_exact_vs_f32_table(monkeypatch):
+    """bf16 values select the row-pair-packed uint32 table; since bf16 ->
+    f32 widening is exact, the packed16 kernel must agree with the f32
+    table kernel bit-for-bit."""
+    from vidar_tpu.ops import msda as msda_mod
+    from vidar_tpu.ops.msda import _msda_fused_fwd_impl, _split_levels
+
+    rng = np.random.default_rng(13)
+    spatial_shapes = ((12, 20), (6, 10))
+    b, heads, dim, q, p = 1, 2, 32, 17, 3
+    v_len = sum(h * w for h, w in spatial_shapes)
+    value = rng.standard_normal((b, v_len, heads, dim)).astype(np.float32)
+    v16 = jnp.asarray(value).astype(jnp.bfloat16)
+    loc = jnp.asarray(rng.uniform(-0.1, 1.1, (b, q, heads, 2, p, 2))
+                      .astype(np.float32))
+    w = jnp.asarray(rng.uniform(size=(b, q, heads, 2, p))
+                    .astype(np.float32))
+
+    lv16 = _split_levels(v16, spatial_shapes)
+    got = np.asarray(_msda_fused_fwd_impl(lv16, spatial_shapes, loc, w))
+    # f32 path on the SAME (bf16-rounded) values
+    lv32 = _split_levels(v16.astype(jnp.float32), spatial_shapes)
+    want = np.asarray(_msda_fused_fwd_impl(lv32, spatial_shapes, loc, w))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_msda_fused16_plan_halves_groups(monkeypatch):
+    """A single-level BEV table that column-splits under f32 fits one
+    packed16 group (the TSA/decoder production regime)."""
+    from vidar_tpu.ops import msda_pallas
+    from vidar_tpu.ops.msda import _fused_plan
+    monkeypatch.setattr(msda_pallas, 'TABLE_BUDGET_BYTES', 120_000)
+    shapes = ((20, 20),)   # (21*21) * 512B = 225 KB f32, 113 KB packed
+    plan32 = _fused_plan(shapes)
+    plan16 = _fused_plan(shapes, packed16=True)
+    assert sum(len(g) for g in plan32) > 1
+    assert sum(len(g) for g in plan16) == 1

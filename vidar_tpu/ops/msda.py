@@ -222,18 +222,23 @@ def _msda_block_atlas(packed_levels, spatial_shapes, loc, weights):
     return out.reshape(b, qb, heads * dim)
 
 
-def _fused_plan(spatial_shapes):
+def _fused_plan(spatial_shapes, packed16: bool = False):
     """Plan for the fused kernel: split levels whose packed f32 table
     exceeds the VMEM budget into packed-COLUMN chunks (each sample belongs
     to exactly one chunk; the others mask it via aw=0), then group chunks
     greedily under the budget.
+
+    ``packed16`` halves the per-row footprint (row-pair uint32 tables —
+    exact for bf16 values), typically collapsing the single-level BEV
+    tables (TSA, future decoder) into one group instead of two column
+    chunks.
 
     Returns a list of groups, each a list of entries ``(lvl, col_lo,
     col_hi)`` over packed columns ``[0, w]``; or None when infeasible (a
     single column exceeding the budget).
     """
     from vidar_tpu.ops.msda_pallas import DIM, TABLE_BUDGET_BYTES
-    row_bytes = 4 * DIM * 4
+    row_bytes = 4 * DIM * (2 if packed16 else 4)
     entries = []
     for lvl, (h, w) in enumerate(spatial_shapes):
         total = (h + 1) * (w + 1) * row_bytes
@@ -345,11 +350,15 @@ def _packed_cache(value_levels, spatial_shapes, needed_lvls):
 def _msda_fused_fwd_impl(value_levels, spatial_shapes, loc, weights,
                          q_block=256):
     """Fused-kernel forward: one invocation per VMEM-sized table group,
-    partial outputs summed. Mosaic constraints force f32 tables (see
-    msda_pallas module docstring); grouping keeps each table resident."""
-    from vidar_tpu.ops.msda_pallas import msda_gather_fused
+    partial outputs summed. Mosaic can't row-slice bf16 tiles dynamically,
+    so tables are 32-bit (see msda_pallas module docstring) — f32 for f32
+    values, row-pair-packed uint32 (half the VMEM/DMA, exact) for bf16
+    values; grouping keeps each table resident."""
+    from vidar_tpu.ops.msda_pallas import (msda_gather_fused,
+                                           msda_gather_fused16, pack_atlas16)
     b, q, heads = loc.shape[:3]
-    groups = _fused_plan(spatial_shapes)
+    packed16 = value_levels[0].dtype == jnp.bfloat16
+    groups = _fused_plan(spatial_shapes, packed16=packed16)
     assert groups is not None  # caller checked
     interpret = jax.default_backend() == 'cpu'
     cache = _packed_cache(value_levels, spatial_shapes,
@@ -359,8 +368,12 @@ def _msda_fused_fwd_impl(value_levels, spatial_shapes, loc, weights,
     for entries in groups:
         atlas, row_idx, cw4, _, _, _ = _prep_group(
             cache, spatial_shapes, loc, weights, entries, q_block)
-        part = msda_gather_fused(atlas, row_idx, cw4,
-                                 q_block=q_block, interpret=interpret)
+        if packed16:
+            part = msda_gather_fused16(pack_atlas16(atlas), row_idx, cw4,
+                                       q_block=q_block, interpret=interpret)
+        else:
+            part = msda_gather_fused(atlas, row_idx, cw4,
+                                     q_block=q_block, interpret=interpret)
         out = part if out is None else out + part
     dim = out.shape[-1]
     out = out[:, :q].reshape(b, heads, q, dim).transpose(0, 2, 1, 3)
@@ -546,7 +559,9 @@ def msdeform_attn(value: jnp.ndarray,
     if auto:
         impl = 'packed' if jax.default_backend() == 'cpu' else 'fused'
     if impl == 'fused':
-        feasible = dim == 32 and _fused_plan(spatial_shapes) is not None
+        feasible = dim == 32 and _fused_plan(
+            spatial_shapes,
+            packed16=value.dtype == jnp.bfloat16) is not None
         # Small-S calls ride the kernel too: an earlier measurement (86 ms
         # fused vs 57 ms atlas at TSA's L*P=4) hit a pathological
         # small-sample grid mode since fixed — re-measured 16 ms fused vs

@@ -162,6 +162,119 @@ def msda_gather_fused(atlas: jnp.ndarray, row_idx: jnp.ndarray,
     )(row_idx, cw4, atlas)
 
 
+def _gather_chunk16(table, idx_ref, q0, s0, sc):
+    """[QT, sc*128] rows gathered from a row-pair-packed uint32 table.
+
+    Table row k packs value rows 2k (high 16 bits) and 2k+1 (low bits) as
+    bf16 bit patterns; the f32 value is recovered by shifting the target
+    half into the top 16 bits and zeroing the mantissa tail (bf16 -> f32
+    widening is exact, so for bf16 model values this path is bit-exact
+    with the f32 table kernel at HALF the VMEM/DMA footprint).
+    """
+    mask = jnp.uint32(0xffff0000)
+    qrows = []
+    for j in range(QT):
+        samples = []
+        for k in range(sc):
+            r = idx_ref[0, q0 + j, s0 + k]
+            word = table[pl.ds(jax.lax.shift_right_logical(r, 1), 1), :]
+            shift = ((r & 1) * 16).astype(jnp.uint32)
+            y = jax.lax.shift_left(word, jnp.broadcast_to(shift, word.shape))
+            y = jax.lax.bitwise_and(y, jnp.broadcast_to(mask, word.shape))
+            samples.append(jax.lax.bitcast_convert_type(y, jnp.float32))
+        qrows.append(samples[0] if sc == 1
+                     else jnp.concatenate(samples, axis=1))
+    return jnp.concatenate(qrows, axis=0)
+
+
+def _fused16_kernel(idx_ref, cw_ref, atlas_ref, out_ref, table, sem):
+    """``_fused_kernel`` over a row-pair-packed uint32 table."""
+    c = pl.program_id(0)
+    qb = pl.program_id(1)
+    s = cw_ref.shape[2] // 4
+    q_blk = out_ref.shape[1]
+
+    @pl.when(qb == 0)
+    def _():
+        cp = pltpu.make_async_copy(atlas_ref.at[c], table, sem)
+        cp.start()
+        cp.wait()
+
+    emats = {sc: _expand_mat(sc) for _, sc in _chunks(s)}
+
+    def tile(i, _):
+        q0 = pl.multiple_of(i * QT, QT)
+        acc = jnp.zeros((QT, DIM), jnp.float32)
+        for (s0, sc) in _chunks(s):
+            g = _gather_chunk16(table, idx_ref, q0, s0, sc)
+            cw = cw_ref[0, pl.ds(q0, QT), 4 * s0:4 * (s0 + sc)]
+            w_rep = jax.lax.dot_general(
+                cw, emats[sc], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI)
+            p = g * w_rep
+            for b in range(4 * sc):
+                acc = acc + p[:, b * DIM:(b + 1) * DIM]
+        out_ref[0, pl.ds(q0, QT), :] = acc
+        return 0
+
+    jax.lax.fori_loop(0, q_blk // QT, tile, 0)
+
+
+def pack_atlas16(atlas: jnp.ndarray) -> jnp.ndarray:
+    """[C, R, 128] f32 -> [C, ceil(R/2) padded to 8, 128] uint32 row pairs.
+
+    Row k of the output packs source rows 2k (high half) and 2k+1 (low):
+    exact for bf16-representable values (the production value dtype).
+    """
+    c, r, lanes = atlas.shape
+    if r % 2:
+        atlas = jnp.pad(atlas, ((0, 0), (0, 1), (0, 0)))
+        r += 1
+    bf = atlas.astype(jnp.bfloat16)
+    u16 = jax.lax.bitcast_convert_type(bf, jnp.uint16).astype(jnp.uint32)
+    word = (u16[:, 0::2] << 16) | u16[:, 1::2]
+    rpad = (-word.shape[1]) % 8
+    if rpad:
+        word = jnp.pad(word, ((0, 0), (0, rpad), (0, 0)))
+    return word
+
+
+@functools.partial(jax.jit, static_argnames=('q_block', 'interpret'))
+def msda_gather_fused16(atlas16: jnp.ndarray, row_idx: jnp.ndarray,
+                        cw4: jnp.ndarray, q_block: int = 256,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Fused gather+reduce over a row-pair-packed uint32 table.
+
+    Same contract as ``msda_gather_fused`` with ``atlas16 =
+    pack_atlas16(atlas)``; row indices still address the UNPACKED rows.
+    """
+    c, rp, lanes = atlas16.shape
+    assert atlas16.dtype == jnp.uint32 and lanes == 4 * DIM
+    _, q, s = row_idx.shape
+    assert q % q_block == 0 and q_block % QT == 0
+    assert cw4.shape == (c, q, 4 * s)
+
+    return pl.pallas_call(
+        _fused16_kernel,
+        grid=(c, q // q_block),
+        in_specs=[
+            pl.BlockSpec((1, q_block, s), lambda ci, qi: (ci, qi, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, q_block, 4 * s), lambda ci, qi: (ci, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, q_block, DIM), lambda ci, qi: (ci, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, q, DIM), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((rp, lanes), jnp.uint32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(row_idx, cw4, atlas16)
+
+
 def _tsel_mat(sc, corner):
     """[sc*128, sc] 0/1 selecting corner ``corner``: T[l, s] = 1 iff
     l // 128 == s and (l % 128) // DIM == corner."""
