@@ -371,3 +371,78 @@ def test_encoder_no_prev_uses_layer_query_queue():
                         torch.from_numpy(np.asarray(bev_mask_j).copy()),
                         t(bev_pos), bev_h, bev_w, shapes)
     np.testing.assert_allclose(got, q.numpy(), atol=1e-4, rtol=1e-4)
+
+
+def torch_pred_msda(p, query, value, ref_points, shapes, num_points=4,
+                    qpos=None):
+    """Reference PredictionMSDeformableAttention (vidar_decoder.py:289-516):
+    plain deform attention with output_proj/residual inside."""
+    bs, n, c = query.shape
+    identity = query
+    q = query + qpos if qpos is not None else query
+    pr = p['proj']
+    lv, pp = len(shapes), num_points
+    off = dense(pr['sampling_offsets'], q).reshape(bs, n, HEADS, lv, pp, 2)
+    w = torch.softmax(
+        dense(pr['attention_weights'], q).reshape(bs, n, HEADS, lv * pp),
+        -1).reshape(bs, n, HEADS, lv, pp)
+    if value is None:
+        value = query
+    vp = dense(pr['value_proj'], value).reshape(bs, -1, HEADS, c // HEADS)
+    norm = torch.tensor([[wd, ht] for (ht, wd) in shapes],
+                        dtype=torch.float32)
+    loc = (ref_points[:, :, None, :, None, :] +
+           off / norm[None, None, None, :, None, :])
+    out = torch_msda(vp, shapes, loc, w)
+    return dense(p['output_proj'], out) + identity
+
+
+def test_prediction_decoder_matches_torch_oracle():
+    """Future-decoder stack (self-attn at tgt_points, cross-attn over the
+    multi-frame memory, FFN) vs the torch re-derivation of reference
+    vidar_decoder.py:25-280."""
+    from vidar_tpu.models.vidar_decoder import PredictionDecoder
+
+    rng = np.random.default_rng(4)
+    bs, bev_h, bev_w, embed, frames, layers = 1, 10, 12, 64, 2, 2
+    n = bev_h * bev_w
+    query = rng.standard_normal((bs, n, embed)).astype(np.float32)
+    prev = rng.standard_normal((bs, frames, n, embed)).astype(np.float32)
+    bev_pos = rng.standard_normal((bs, n, embed)).astype(np.float32)
+    tgt = rng.uniform(0.05, 0.95, (bs, n, 2)).astype(np.float32)
+    ref = rng.uniform(0.05, 0.95, (bs, n, frames, 2)).astype(np.float32)
+
+    dec = PredictionDecoder(num_layers=layers, embed_dims=embed,
+                            feedforward_channels=128,
+                            num_memory_frames=frames)
+    params = dec.init(jax.random.PRNGKey(0), jnp.asarray(query),
+                      jnp.asarray(prev), jnp.asarray(tgt), jnp.asarray(ref),
+                      jnp.asarray(bev_pos), bev_h, bev_w)
+    leaves, tree = jax.tree.flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(9), len(leaves))
+    params = jax.tree.unflatten(tree, [
+        jax.random.normal(k, l.shape, l.dtype) * 0.1
+        for k, l in zip(keys, leaves)])
+    got = np.asarray(dec.apply(params, jnp.asarray(query), jnp.asarray(prev),
+                               jnp.asarray(tgt), jnp.asarray(ref),
+                               jnp.asarray(bev_pos), bev_h, bev_w))
+
+    p = jax.tree.map(np.asarray, params['params'])
+    q = t(query)
+    mem = t(prev).reshape(bs, frames * n, embed)
+    shapes_f = tuple((bev_h, bev_w) for _ in range(frames))
+    inter = []
+    for lid in range(layers):
+        lp = p[f'layers_{lid}']
+        q = torch_pred_msda(lp['attentions_0'], q, None,
+                            t(tgt)[:, :, None, :], ((bev_h, bev_w),),
+                            qpos=t(bev_pos))
+        q = layer_norm(lp['norms_0'], q)
+        q = torch_pred_msda(lp['attentions_1'], q, mem, t(ref), shapes_f,
+                            qpos=t(bev_pos))
+        q = layer_norm(lp['norms_1'], q)
+        q = torch_ffn(lp['ffns_0'], q)
+        q = layer_norm(lp['norms_2'], q)
+        inter.append(q)
+    want = torch.stack(inter).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
