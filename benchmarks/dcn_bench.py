@@ -37,8 +37,29 @@ def bench(b, h, w, c):
     tag = f'{h}x{w}x{c}'
     timeit(f'{tag} ref(take) ', jax.jit(dcn_pallas._dcn_sample_ref),
            x, sx, sy, mask)
+    def take_bf16(x, sx, sy, mask):
+        # the production resnet.py path: bf16 packed table, f32 einsum
+        from vidar_tpu.ops.gather import (bilinear_weights, pack_corners_2d,
+                                          take_rows)
+        b, h, w, c = x.shape
+        _, q, s = sx.shape
+        packed = pack_corners_2d(x)
+        rows = packed.shape[1]
+        row, cw = bilinear_weights(sx.reshape(b, -1), sy.reshape(b, -1),
+                                   h, w)
+        offs = (jnp.arange(b, dtype=jnp.int32) * rows)[:, None]
+        g = take_rows(packed.reshape(b * rows, 4 * c), row + offs)
+        g = g.reshape(b, q * s, 4, c)
+        out = jnp.einsum('bncd,bnc->bnd', g.astype(jnp.float32),
+                         cw.astype(jnp.float32))
+        return out.reshape(b, q, s, c) * mask[..., None]
+
+    xb = x.astype(jnp.bfloat16)
+    timeit(f'{tag} take bf16 ', jax.jit(take_bf16), xb, sx, sy, mask)
     timeit(f'{tag} pallas    ', jax.jit(dcn_pallas.dcn_sample),
            x, sx, sy, mask)
+    timeit(f'{tag} dcn16     ', jax.jit(dcn_pallas.dcn_sample16),
+           xb, sx, sy, mask)
 
 
 bench(6, 58, 100, 256)   # RN101 stage 3

@@ -9,6 +9,9 @@ Runs (in order, all eager per-call with scalar readback):
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools_dev/measure_all.py
 """
 
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 from functools import partial
 
@@ -52,11 +55,12 @@ def main():
         atlas = jax.random.normal(key, (c, r, 128), jnp.float32)
         idx = jax.random.randint(key, (c, q, s), 0, r, jnp.int32)
         cw = jax.random.normal(key, (c, q, 4 * s), jnp.float32)
-        f32 = jax.jit(partial(msda_gather_fused, q_block=256))
-        t, _ = bench(f32, atlas, idx, cw)
         rows = c * q * s
-        print(f'{label} f32: {(t-ovh)*1e3:.1f} ms '
-              f'{rows/(t-ovh)/1e6:.0f} M rows/s', flush=True)
+        if r * 128 * 4 <= 16_000_000:   # f32 table must fit scoped VMEM
+            f32 = jax.jit(partial(msda_gather_fused, q_block=256))
+            t, _ = bench(f32, atlas, idx, cw)
+            print(f'{label} f32: {(t-ovh)*1e3:.1f} ms '
+                  f'{rows/(t-ovh)/1e6:.0f} M rows/s', flush=True)
         a16 = pack_atlas16(atlas)
         f16 = jax.jit(partial(msda_gather_fused16, q_block=256))
         t, _ = bench(f16, a16, idx, cw)

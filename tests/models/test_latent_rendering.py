@@ -132,6 +132,38 @@ def test_fused_ray_passes_match_xla():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_fused_ray_passes_packed16_match_xla():
+    """bf16 inputs take the u32 row-pair single-chunk path — exact pack,
+    so parity with the XLA oracle on the same (bf16-rounded) values."""
+    import jax.numpy as jnp
+    from vidar_tpu.models import latent_rendering as lr
+
+    rng = np.random.default_rng(7)
+    bs, h, w, z, g = 1, 10, 12, 4, 6
+    occ = jnp.asarray(rng.normal(size=(bs, h, w, z)).astype(np.float32))
+    occ16 = occ.astype(jnp.bfloat16)
+    grids = jnp.asarray(lr._bev_center_grids(h, w))[None]
+    radial = grids - 0.5
+    rn = jnp.nan_to_num(radial / jnp.sqrt((radial ** 2).sum(-1,
+                                                            keepdims=True)))
+    steps = (jnp.arange(g, dtype=jnp.float32) + 0.5) * (0.5 / (min(h, w)//2))
+
+    for act in ('sigmoid', 'exp'):
+        want = lr._first_hit_xla(occ16, grids, rn, steps, act, 4096)
+        got = lr._first_hit_fused_impl(occ16, grids, rn, steps, act)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+
+    c_r = z
+    fused_map = jnp.asarray(
+        rng.uniform(0.1, 1.0, (bs, h, w, 2 * c_r)).astype(np.float32))
+    fm16 = fused_map.astype(jnp.bfloat16)
+    want = lr._aggregate_xla(fm16, grids, rn, steps, c_r, z, 1e-3, 4096)
+    got = lr._aggregate_fused_impl(fm16, grids, rn, steps, c_r, z, 1e-3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_fused_ray_passes_column_split(monkeypatch):
     """Force >1 packed-column chunk; partial products/sums must combine
     to the same result."""

@@ -35,6 +35,43 @@ def test_dcn_sample_column_split(monkeypatch):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_dcn_sample16_matches_ref():
+    x, sx, sy, mask = _data(q=16)
+    got = np.asarray(dcn_pallas.dcn_sample16(x, sx, sy, mask))
+    want = np.asarray(dcn_pallas._dcn_sample16_ref_perm(x, sx, sy, mask))
+    # bit-exact: both paths see bf16-rounded values and fold in f32
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_dcn_sample16_wide_channels():
+    x, sx, sy, mask = _data(c=512, q=8)
+    got = np.asarray(dcn_pallas.dcn_sample16(x, sx, sy, mask))
+    want = np.asarray(dcn_pallas._dcn_sample16_ref_perm(x, sx, sy, mask))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_dcn_sample16_grad_matches_ref():
+    x, sx, sy, mask = _data(q=5)
+
+    def loss(fn):
+        return lambda *a: (fn(*a) ** 2).sum()
+
+    gf = jax.grad(loss(dcn_pallas.dcn_sample16), argnums=(0, 1, 2, 3))(
+        x, sx, sy, mask)
+    gr = jax.grad(loss(dcn_pallas._dcn_sample16_ref_perm),
+                  argnums=(0, 1, 2, 3))(x, sx, sy, mask)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_dcn_channel_perm_roundtrip():
+    c = 8
+    perm = dcn_pallas.dcn16_channel_perm(c)
+    assert sorted(perm) == list(range(c))
+    assert perm == [0, 2, 4, 6, 1, 3, 5, 7]
+
+
 def test_dcn_sample_grad_matches_ref():
     x, sx, sy, mask = _data(q=5)
 

@@ -76,6 +76,7 @@ def _first_hit_xla(occ_pred, grids, radial_norm, steps, act, ray_chunk):
     """First-hit probability per cell: [bs, N, Z] (the reference's
     cumprod(1 - p*inside)[..., -1] * p[..., -1])."""
     bs, n = grids.shape[:2]
+    occ_pred = occ_pred.astype(jnp.float32)
     zdim = occ_pred.shape[-1]
     g = steps.shape[0]
 
@@ -170,17 +171,34 @@ def _first_hit_fused_impl(occ_pred, grids, radial_norm, steps, act):
     transmittance products multiply and p_last terms sum across chunks
     (a waypoint outside the chunk contributes a factor of 1)."""
     from ..ops.latent_render_pallas import ray_prob_fused
+    from ..ops.msda_pallas import pack_atlas16
     bs, h, w, zdim = occ_pred.shape
     n = grids.shape[1]
     # 128-lane tables only (Mosaic DMA): pad the height-bin channels to 32
     zp = 32
-    occ = jnp.pad(occ_pred.astype(jnp.float32),
+    packed16 = (occ_pred.dtype == jnp.bfloat16 and
+                (h + 1) * (w + 1) * 128 * 2 <= 12_600_000)
+    dt = jnp.bfloat16 if packed16 else jnp.float32
+    occ = jnp.pad(occ_pred.astype(dt),
                   ((0, 0), (0, 0), (0, 0), (0, zp - zdim)))
     path_n = _cell_path(grids, radial_norm, steps)       # [bs, N, S, 2]
     path_len = jnp.sqrt((path_n ** 2).sum(-1))
     inside = (path_len < path_len[..., -1:]).astype(jnp.float32)
     occ_full = jnp.pad(occ, ((0, 0), (1, 1), (1, 1), (0, 0)))
     interpret = jax.default_backend() == 'cpu'
+
+    if packed16:
+        # row-pair u32 table: half the VMEM keeps the 200x200 map in ONE
+        # chunk (column chunks duplicate the full N x S gather work);
+        # exact for bf16 occupancy logits.
+        table = pack_atlas16(_packed_col_chunk(occ_full, 0, w + 1))
+        row, cw4, _ = _path_rows(path_n, h, w)
+        lastm = jnp.ones((bs, n, 1), jnp.float32)
+        (row, cw4, mask, lastm), _ = _pad_q([row, cw4, inside, lastm], n)
+        part = ray_prob_fused(table, row, cw4, mask, lastm, act=act,
+                              interpret=interpret)
+        prod, p_last = part[..., :zp], part[..., zp:]
+        return (prod * p_last)[:, :n, :zdim]
 
     prod = None
     p_last = None
@@ -232,6 +250,7 @@ def ray_first_hit(occ_pred, grids, radial_norm, steps, act, ray_chunk):
 def _aggregate_xla(fused_map, grids, radial_norm, steps, c_r, zdim, eps,
                    ray_chunk):
     """Prob-weighted ray aggregation: [bs, N, c_r]."""
+    fused_map = fused_map.astype(jnp.float32)
     bs, n = grids.shape[:2]
     g = steps.shape[0]
     group = c_r // zdim
@@ -264,6 +283,7 @@ def _aggregate_xla(fused_map, grids, radial_norm, steps, c_r, zdim, eps,
 def _aggregate_fused_impl(fused_map, grids, radial_norm, steps, c_r, zdim,
                           eps):
     from ..ops.latent_render_pallas import ray_agg_fused
+    from ..ops.msda_pallas import pack_atlas16
     bs, h, w, _ = fused_map.shape
     n = grids.shape[1]
     path_n = _cell_path(grids, radial_norm, steps)
@@ -272,6 +292,20 @@ def _aggregate_fused_impl(fused_map, grids, radial_norm, steps, c_r, zdim,
                            1.0 / jnp.abs(radial_norm[..., 1:2]))
     way_len = jnp.sqrt((way_n ** 2).sum(-1))
     way_valid = (way_len < boundary).astype(jnp.float32)   # [bs, N, G]
+
+    interp = jax.default_backend() == 'cpu'
+    packed16 = (fused_map.dtype == jnp.bfloat16 and
+                (h + 1) * (w + 1) * 8 * c_r * 2 <= 12_600_000)
+    if packed16:
+        fm_full = jnp.pad(fused_map, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        table = pack_atlas16(_packed_col_chunk(fm_full, 0, w + 1))
+        row, cw4, _ = _path_rows(way_n, h, w)
+        cw4 = cw4 * jnp.repeat(way_valid, 4, axis=-1)
+        (row, cw4), _ = _pad_q([row, cw4], n)
+        out = ray_agg_fused(table, row, cw4, interpret=interp)
+        num = out[:, :n, :c_r]
+        den = out[:, :n, c_r:]
+        return num / (den + eps)
 
     fm = fused_map.astype(jnp.float32)
     fm_full = jnp.pad(fm, ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -376,9 +410,11 @@ class LatentRendering(nn.Module):
         zdim = self.pred_height
 
         # ---- pass 1: per-cell first-hit probability ----
+        # occ_pred keeps the model dtype: for bf16 models the fused path
+        # packs an exact u32 row-pair table (single VMEM chunk); the XLA
+        # oracle casts to f32 internally.
         occ_path_prob = ray_first_hit(
-            occ_pred.astype(jnp.float32), grids, radial_norm, steps, act,
-            self.ray_chunk)
+            occ_pred, grids, radial_norm, steps, act, self.ray_chunk)
 
         # ---- pass 2: ray-feature aggregation in LoRA space ----
         # The LoRA features and the first-hit prob map are sampled at the
@@ -387,8 +423,15 @@ class LatentRendering(nn.Module):
                              dtype=self.dtype, name='lora_a')(embed)
         c_r = self.embed_dims // self.reduction
         prob_map = occ_path_prob.reshape(bs, bev_h, bev_w, zdim)
-        fused_map = jnp.concatenate(
-            [lora_a.astype(jnp.float32), prob_map], axis=-1)
+        if self.dtype == jnp.bfloat16:
+            # bf16 fused map -> exact u32 row-pair table in the fused
+            # pass-2 kernel (single VMEM chunk). Rounds the first-hit
+            # probabilities to bf16 — within the bf16 model's noise floor.
+            fused_map = jnp.concatenate(
+                [lora_a, prob_map.astype(jnp.bfloat16)], axis=-1)
+        else:
+            fused_map = jnp.concatenate(
+                [lora_a.astype(jnp.float32), prob_map], axis=-1)
 
         ray_feat = ray_aggregate(fused_map, grids, radial_norm, steps, c_r,
                                  zdim, eps, self.ray_chunk)

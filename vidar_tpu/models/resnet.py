@@ -97,7 +97,29 @@ class DeformConv2d(nn.Module):
         sx = (gx[None, :, :, None] + kx + off[..., 1]).reshape(b, -1)
 
         import os
-        from ..ops.dcn_pallas import dcn_sample, dcn_sample_available
+        from ..ops.dcn_pallas import (dcn_sample, dcn_sample_available,
+                                      dcn_sample16, dcn_sample16_available,
+                                      dcn16_channel_perm)
+        flag16 = os.environ.get('VIDAR_TPU_DCN16', '1')
+        use16 = (flag16 != '0' and x.dtype == jnp.bfloat16 and
+                 dcn_sample16_available(h, w, c_in) and
+                 (jax.default_backend() != 'cpu' or flag16 == 'force'))
+        if use16:
+            # u32 channel-pair Pallas kernel: whole per-image zero-ring
+            # feature table VMEM-resident, 4 single-row loads per tap
+            # (see ops/dcn_pallas.py). Per-tap channels come out
+            # (evens || odds) — fold that fixed permutation into the conv
+            # kernel instead of transposing the 9x-fat tap tensor.
+            sampled = dcn_sample16(x, sx.reshape(b, ho * wo, k * k),
+                                   sy.reshape(b, ho * wo, k * k),
+                                   mask.reshape(b, ho * wo, k * k))
+            kernel = self.param('kernel', _conv_kernel_init,
+                                (k * k * c_in, self.features))
+            perm = jnp.asarray(dcn16_channel_perm(c_in), jnp.int32)
+            kperm = kernel.reshape(k * k, c_in, self.features)[:, perm]
+            kperm = kperm.reshape(k * k * c_in, self.features)
+            sampled = sampled.reshape(b, ho, wo, k * k * c_in).astype(x.dtype)
+            return sampled @ kperm.astype(x.dtype)
         # Off by default: at bf16 model precision the 2KB-row take path
         # measures faster (11.4 vs 18.6 ms at stage-3 shapes) because the
         # Pallas table must be f32 (see ops/dcn_pallas.py). Kept as an

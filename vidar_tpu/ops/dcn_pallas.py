@@ -244,3 +244,223 @@ def dcn_sample_available(h, w, c):
     c must be a multiple of 256 so a packed sample (4*c/128 rows) starts on
     a sublane boundary."""
     return (c % 256 == 0 and _col_chunks(h, w, c) is not None)
+
+
+# ---------------------------------------------------------------------------
+# u32 channel-pair-packed variant ("dcn16"): bf16 values at HALF the VMEM
+# and half the dynamic-load rows of the f32 packed-corner kernel above.
+#
+# Table: per-pixel rows (NO corner packing) over a zero-ring (H+2, W+2)
+# grid; lane l of a pixel row packs channels (2l, 2l+1) as bf16 bit
+# patterns in one uint32 (exact for bf16 model values — see
+# msda_pallas.pack_atlas16). The 4 bilinear corners of a tap live at rows
+# (r, r+1, r+W+2, r+W+3), gathered as 4 dynamic row loads and folded
+# lane-major like the msda kernel: per 8-query tile the corner rows are
+# concatenated along lanes, corner weights are expanded across channel
+# lanes with a constant 0/1 MXU matmul, and the corner reduction is 4
+# static lane-segment adds. Output channels come out (evens || odds) per
+# tap — the caller folds that fixed permutation into the conv kernel.
+# ---------------------------------------------------------------------------
+
+QT16 = 8
+TABLE16_BUDGET_BYTES = 9_000_000
+
+
+def _expand_corner_mat(cl):
+    """[4, 4*cl] 0/1: output lane l belongs to corner l // cl."""
+    src = jax.lax.broadcasted_iota(jnp.int32, (4, 4 * cl), 0)
+    dst = jax.lax.broadcasted_iota(jnp.int32, (4, 4 * cl), 1)
+    return (dst // cl == src).astype(jnp.float32)
+
+
+def _dcn16_kernel(w2: int, idx_ref, cw_ref, table_hbm, out_ref, table, sem):
+    b = pl.program_id(0)
+    qb = pl.program_id(1)
+    s = cw_ref.shape[2] // 4
+    q_blk = idx_ref.shape[1]
+    cl = table.shape[1]          # lanes per pixel row = C // 2
+
+    @pl.when(qb == 0)
+    def _():
+        cp = pltpu.make_async_copy(table_hbm.at[b], table, sem)
+        cp.start()
+        cp.wait()
+
+    emat = _expand_corner_mat(cl)
+    hi_mask = jnp.uint32(0xffff0000)
+
+    def tile(i, _):
+        q0 = pl.multiple_of(i * QT16, QT16)
+        tap_outs = []
+        for k in range(s):
+            qrows = []
+            for j in range(QT16):
+                r = idx_ref[0, q0 + j, k]
+                c00 = table[pl.ds(r, 1), :]
+                c01 = table[pl.ds(r + 1, 1), :]
+                c10 = table[pl.ds(r + w2, 1), :]
+                c11 = table[pl.ds(r + w2 + 1, 1), :]
+                qrows.append(jnp.concatenate([c00, c01, c10, c11], axis=1))
+            g = jnp.concatenate(qrows, axis=0)          # [QT, 4*cl] u32
+            ghi = jax.lax.bitcast_convert_type(
+                jax.lax.bitwise_and(g, jnp.broadcast_to(hi_mask, g.shape)),
+                jnp.float32)
+            glo = jax.lax.bitcast_convert_type(
+                jax.lax.shift_left(g, jnp.broadcast_to(jnp.uint32(16),
+                                                       g.shape)),
+                jnp.float32)
+            cw = cw_ref[0, pl.ds(q0, QT16), 4 * k:4 * (k + 1)]   # [QT, 4]
+            w_rep = jax.lax.dot_general(
+                cw, emat, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI)
+            phi = ghi * w_rep
+            plo = glo * w_rep
+            acc_hi = (phi[:, 0:cl] + phi[:, cl:2 * cl] +
+                      phi[:, 2 * cl:3 * cl] + phi[:, 3 * cl:4 * cl])
+            acc_lo = (plo[:, 0:cl] + plo[:, cl:2 * cl] +
+                      plo[:, 2 * cl:3 * cl] + plo[:, 3 * cl:4 * cl])
+            tap_outs.append(acc_hi)
+            tap_outs.append(acc_lo)
+        out_tile = jnp.concatenate(tap_outs, axis=1)    # [QT, s*2*cl]
+        out_ref[0, pl.ds(q0, QT16), :] = out_tile
+        return 0
+
+    jax.lax.fori_loop(0, q_blk // QT16, tile, 0)
+
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('w2', 'q_block', 'interpret'))
+def dcn16_gather(table16: jnp.ndarray, row_idx: jnp.ndarray,
+                 cw4: jnp.ndarray, w2: int, q_block: int = 128,
+                 interpret: bool = False) -> jnp.ndarray:
+    """u32-packed DCN tap gather + bilinear fold.
+
+    table16: [B, Rpad, C//2] uint32 channel-pair rows over the zero-ring
+    (H+2, W+2) pixel grid (w2 = W + 2), rows padded to 8.
+    row_idx: [B, Q, S] int32 top-left corner pixel row (clipped in-range).
+    cw4: [B, Q, 4*S] f32 corner weights (y-major corner order) with the
+    modulation mask and validity folded in.
+    Returns [B, Q, S*C] f32; per tap the channels are (evens || odds).
+    """
+    bsz, rrows, cl = table16.shape
+    assert table16.dtype == jnp.uint32 and cl % 128 == 0
+    _, q, s = row_idx.shape
+    assert q % q_block == 0 and q_block % QT16 == 0
+    assert cw4.shape == (bsz, q, 4 * s)
+
+    kern = functools.partial(_dcn16_kernel, w2)
+    return pl.pallas_call(
+        kern,
+        grid=(bsz, q // q_block),
+        in_specs=[
+            pl.BlockSpec((1, q_block, s), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, q_block, 4 * s), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, q_block, s * 2 * cl),
+                               lambda bi, qi: (bi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, q, s * 2 * cl), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((rrows, cl), jnp.uint32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(row_idx, cw4, table16)
+
+
+def pack_table16(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, Rpad, C//2] u32 zero-ring channel-pair table."""
+    b, h, w, c = x.shape
+    xp = jnp.pad(x.astype(jnp.bfloat16), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    u16 = jax.lax.bitcast_convert_type(xp, jnp.uint16).astype(jnp.uint32)
+    word = (u16[..., 0::2] << 16) | u16[..., 1::2]
+    word = word.reshape(b, (h + 2) * (w + 2), c // 2)
+    rpad = (-word.shape[1]) % 8
+    if rpad:
+        word = jnp.pad(word, ((0, 0), (0, rpad), (0, 0)))
+    return word
+
+
+def dcn16_channel_perm(c: int) -> list:
+    """Per-tap channel order emitted by dcn16_gather: evens then odds."""
+    return list(range(0, c, 2)) + list(range(1, c, 2))
+
+
+def _dcn_sample16_fwd_impl(x, sx, sy, mask, q_block=128):
+    b, h, w, c = x.shape
+    _, q, s = sx.shape
+    interpret = jax.default_backend() == 'cpu'
+    table16 = pack_table16(x)
+
+    x_pix = sx.astype(jnp.float32)
+    y_pix = sy.astype(jnp.float32)
+    x0 = jnp.floor(x_pix)
+    y0 = jnp.floor(y_pix)
+    ix0 = x0.astype(jnp.int32)
+    iy0 = y0.astype(jnp.int32)
+    wx1 = x_pix - x0
+    wy1 = y_pix - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+    valid = ((iy0 >= -1) & (iy0 <= h - 1) & (ix0 >= -1) & (ix0 <= w - 1))
+    row = (jnp.clip(iy0 + 1, 0, h) * (w + 2) +
+           jnp.clip(ix0 + 1, 0, w)).astype(jnp.int32)
+    aw = mask.astype(jnp.float32) * valid.astype(jnp.float32)
+    cw4 = jnp.stack([wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1],
+                    axis=-1) * aw[..., None]
+    cw4 = cw4.reshape(b, q, 4 * s)
+
+    qp = q + ((-q) % q_block)
+    if qp != q:
+        row = jnp.pad(row, ((0, 0), (0, qp - q), (0, 0)))
+        cw4 = jnp.pad(cw4, ((0, 0), (0, qp - q), (0, 0)))
+    out = dcn16_gather(table16, row, cw4, w2=w + 2, q_block=q_block,
+                       interpret=interpret)
+    return out[:, :q]      # [B, Q, S*C], channels (evens||odds) per tap
+
+
+def _dcn_sample16_ref_perm(x, sx, sy, mask):
+    """XLA reference in the dcn16 output layout (bf16 values, permuted)."""
+    b, h, w, c = x.shape
+    _, q, s = sx.shape
+    taps = _dcn_sample_ref(x.astype(jnp.bfloat16).astype(jnp.float32),
+                           sx, sy, mask)          # [B, Q, S, C]
+    perm = jnp.asarray(dcn16_channel_perm(c), jnp.int32)
+    return taps[..., perm].reshape(b, q, s * c)
+
+
+@jax.custom_vjp
+def dcn_sample16(x, sx, sy, mask):
+    """u32-packed modulated DCN tap sampling.
+
+    x [B,H,W,C] (bf16-representable values), sx/sy/mask [B,Q,S] ->
+    [B, Q, S*C] f32 taps with per-tap channels ordered (evens || odds)
+    (fold ``dcn16_channel_perm`` into the consuming conv kernel).
+    Pallas forward; backward recomputes through the XLA reference.
+    """
+    return _dcn_sample16_fwd_impl(x, sx, sy, mask)
+
+
+def _dcn_sample16_vfwd(x, sx, sy, mask):
+    return dcn_sample16(x, sx, sy, mask), (x, sx, sy, mask)
+
+
+def _dcn_sample16_vbwd(res, g):
+    x, sx, sy, mask = res
+    _, vjp = jax.vjp(_dcn_sample16_ref_perm, x, sx, sy, mask)
+    return vjp(g)
+
+
+dcn_sample16.defvjp(_dcn_sample16_vfwd, _dcn_sample16_vbwd)
+
+
+def dcn_sample16_available(h, w, c):
+    """dcn16 needs 128-lane-multiple pixel rows and a VMEM-resident table."""
+    table_bytes = (h + 2) * (w + 2) * (c // 2) * 4
+    return c % 256 == 0 and table_bytes <= TABLE16_BUDGET_BYTES

@@ -62,8 +62,29 @@ def _gather_chunk(table, idx_ref, q0, s0, sc):
     return jnp.concatenate(qrows, axis=0)   # [QT, sc*4*seg]
 
 
-def _ray_prob_kernel(act, idx_ref, cw_ref, mask_ref, lastm_ref, atlas_ref,
-                     out_ref, table, sem):
+def _gather_chunk16(table, idx_ref, q0, s0, sc):
+    """Gather from a row-pair-packed uint32 table (see
+    msda_pallas._gather_chunk16): halves the VMEM table so the 200x200
+    latent-render maps stay single-chunk instead of column-splitting
+    (column chunks duplicate the full N x S row work)."""
+    mask = jnp.uint32(0xffff0000)
+    qrows = []
+    for j in range(QT):
+        samples = []
+        for k in range(sc):
+            r = idx_ref[0, q0 + j, s0 + k]
+            word = table[pl.ds(jax.lax.shift_right_logical(r, 1), 1), :]
+            shift = ((r & 1) * 16).astype(jnp.uint32)
+            y = jax.lax.shift_left(word, jnp.broadcast_to(shift, word.shape))
+            y = jax.lax.bitwise_and(y, jnp.broadcast_to(mask, word.shape))
+            samples.append(jax.lax.bitcast_convert_type(y, jnp.float32))
+        qrows.append(samples[0] if sc == 1
+                     else jnp.concatenate(samples, axis=1))
+    return jnp.concatenate(qrows, axis=0)
+
+
+def _ray_prob_kernel(act, packed16, idx_ref, cw_ref, mask_ref,
+                     lastm_ref, atlas_ref, out_ref, table, sem):
     c = pl.program_id(0)
     qb = pl.program_id(1)
     s = mask_ref.shape[2]
@@ -77,13 +98,14 @@ def _ray_prob_kernel(act, idx_ref, cw_ref, mask_ref, lastm_ref, atlas_ref,
         cp.wait()
 
     emats = {sc: _expand_mat(sc, z) for _, sc in _chunks(s)}
+    gather = _gather_chunk16 if packed16 else _gather_chunk
 
     def tile(i, _):
         q0 = pl.multiple_of(i * QT, QT)
         acc = jnp.ones((QT, z), jnp.float32)
         p_last = jnp.zeros((QT, z), jnp.float32)
         for (s0, sc) in _chunks(s):
-            g = _gather_chunk(table, idx_ref, q0, s0, sc)
+            g = gather(table, idx_ref, q0, s0, sc)
             cw = cw_ref[0, pl.ds(q0, QT), 4 * s0:4 * (s0 + sc)]
             w_rep = jax.lax.dot_general(
                 cw, emats[sc], dimension_numbers=(((1,), (0,)), ((), ())),
@@ -128,13 +150,14 @@ def ray_prob_fused(atlas: jnp.ndarray, row_idx: jnp.ndarray,
     bsz, r, lanes = atlas.shape
     z = lanes // 4
     _, n, s = row_idx.shape
-    assert atlas.dtype == jnp.float32 and lanes == 128
+    packed16 = atlas.dtype == jnp.uint32
+    assert atlas.dtype in (jnp.float32, jnp.uint32) and lanes == 128
     assert n % q_block == 0 and q_block % QT == 0
     assert cw4.shape == (bsz, n, 4 * s) and mask.shape == (bsz, n, s)
     assert last_in.shape == (bsz, n, 1)
 
     return pl.pallas_call(
-        functools.partial(_ray_prob_kernel, act),
+        functools.partial(_ray_prob_kernel, act, packed16),
         grid=(bsz, n // q_block),
         in_specs=[
             pl.BlockSpec((1, q_block, s), lambda bi, qi: (bi, qi, 0),
@@ -151,13 +174,14 @@ def ray_prob_fused(atlas: jnp.ndarray, row_idx: jnp.ndarray,
                                lambda bi, qi: (bi, qi, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, n, 2 * z), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((r, lanes), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((r, lanes), atlas.dtype),
                         pltpu.SemaphoreType.DMA],
         interpret=interpret,
     )(row_idx, cw4, mask, last_in, atlas)
 
 
-def _ray_agg_kernel(idx_ref, cw_ref, atlas_ref, out_ref, table, sem):
+def _ray_agg_kernel(packed16, idx_ref, cw_ref, atlas_ref, out_ref,
+                    table, sem):
     c = pl.program_id(0)
     qb = pl.program_id(1)
     s = cw_ref.shape[2] // 4
@@ -171,13 +195,14 @@ def _ray_agg_kernel(idx_ref, cw_ref, atlas_ref, out_ref, table, sem):
         cp.wait()
 
     emats = {sc: _expand_mat(sc, 2 * cdim) for _, sc in _chunks(s)}
+    gather = _gather_chunk16 if packed16 else _gather_chunk
 
     def tile(i, _):
         q0 = pl.multiple_of(i * QT, QT)
         num = jnp.zeros((QT, cdim), jnp.float32)
         den = jnp.zeros((QT, cdim), jnp.float32)
         for (s0, sc) in _chunks(s):
-            g = _gather_chunk(table, idx_ref, q0, s0, sc)
+            g = gather(table, idx_ref, q0, s0, sc)
             cw = cw_ref[0, pl.ds(q0, QT), 4 * s0:4 * (s0 + sc)]
             w_rep = jax.lax.dot_general(
                 cw, emats[sc], dimension_numbers=(((1,), (0,)), ((), ())),
@@ -210,12 +235,13 @@ def ray_agg_fused(atlas: jnp.ndarray, row_idx: jnp.ndarray,
     bsz, r, lanes = atlas.shape
     cdim = lanes // 8                     # rows are 4 corners x 2*cdim
     _, n, s = row_idx.shape
-    assert atlas.dtype == jnp.float32
+    packed16 = atlas.dtype == jnp.uint32
+    assert atlas.dtype in (jnp.float32, jnp.uint32)
     assert n % q_block == 0 and q_block % QT == 0
     assert cw4.shape == (bsz, n, 4 * s)
 
     return pl.pallas_call(
-        _ray_agg_kernel,
+        functools.partial(_ray_agg_kernel, packed16),
         grid=(bsz, n // q_block),
         in_specs=[
             pl.BlockSpec((1, q_block, s), lambda bi, qi: (bi, qi, 0),
@@ -228,7 +254,7 @@ def ray_agg_fused(atlas: jnp.ndarray, row_idx: jnp.ndarray,
                                lambda bi, qi: (bi, qi, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, n, 2 * cdim), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((r, lanes), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((r, lanes), atlas.dtype),
                         pltpu.SemaphoreType.DMA],
         interpret=interpret,
     )(row_idx, cw4, atlas)

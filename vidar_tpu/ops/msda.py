@@ -337,12 +337,78 @@ def _prep_group(packed_cache, spatial_shapes, loc, weights, entries,
     return atlas, row_idx, cw4, wx1, wy1, aw
 
 
-def _packed_cache(value_levels, spatial_shapes, needed_lvls):
+def _prep_group_fwd(tables, table_rows, spatial_shapes, loc, weights,
+                    entries, q_block):
+    """Forward-only layout prep for one fused-kernel invocation.
+
+    ``tables``: lvl -> [C, P, 128] kernel-ready (row-padded, possibly
+    row-pair-packed u32) WHOLE-level table; ``table_rows``: lvl -> the
+    UNPACKED row count the row indices address. A single-entry group
+    aliases its table with zero copies; multi-entry groups concatenate
+    the pre-padded tables (no extra pad pass — the old path re-padded the
+    ~0.6 GB SCA atlas per call).
+
+    Returns (atlas [C, R, 128], row_idx [C, Qp, S], cw4 [C, Qp, 4S]).
+    """
+    b, q, heads = loc.shape[:3]
+    rows, aws, wxs, wys = [], [], [], []
+    base = 0
+    for (lvl, a, bcol) in entries:
+        h, w = spatial_shapes[lvl]
+        assert (a, bcol) == (0, w)
+        x = loc[..., lvl, :, 0].astype(jnp.float32) * w - 0.5  # [b,q,hd,p]
+        y = loc[..., lvl, :, 1].astype(jnp.float32) * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        ix0 = x0.astype(jnp.int32)
+        iy0 = y0.astype(jnp.int32)
+        valid = ((iy0 >= -1) & (iy0 <= h - 1) & (ix0 >= -1) & (ix0 <= w - 1))
+        row = (jnp.clip(iy0 + 1, 0, h) * (w + 1) +
+               jnp.clip(ix0 + 1, 0, w)) + base
+        rows.append(row)
+        wxs.append(x - x0)
+        wys.append(y - y0)
+        aws.append(weights[..., lvl, :].astype(jnp.float32) *
+                   valid.astype(jnp.float32))
+        base += table_rows[lvl]
+
+    def to_cqs(xs):
+        v = jnp.stack(xs, axis=3)
+        return v.transpose(0, 2, 1, 3, 4).reshape(b * heads, q, -1)
+
+    row_idx = to_cqs(rows).astype(jnp.int32)
+    wx1 = to_cqs(wxs)
+    wy1 = to_cqs(wys)
+    aw = to_cqs(aws)
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+    cw4 = jnp.stack([wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1],
+                    axis=-1) * aw[..., None]
+    cw4 = cw4.reshape(cw4.shape[0], cw4.shape[1], -1)
+
+    pad = (-q) % q_block
+    if pad:
+        row_idx = jnp.pad(row_idx, ((0, 0), (0, pad), (0, 0)))
+        cw4 = jnp.pad(cw4, ((0, 0), (0, pad), (0, 0)))
+    lvls = [e[0] for e in entries]
+    atlas = (tables[lvls[0]] if len(lvls) == 1
+             else jnp.concatenate([tables[lv] for lv in lvls], axis=1))
+    return atlas, row_idx, cw4
+
+
+def _packed_cache(value_levels, spatial_shapes, needed_lvls,
+                  dtype=jnp.float32):
+    """lvl -> [B, H, h+1, w+1, 4d] packed corner tables.
+
+    ``dtype=bfloat16`` packs at half the HBM traffic — used by the fused16
+    forward, whose u32 row-pair tables are built from bf16 bit patterns
+    anyway (the f32 detour costs a full extra pass over the ~0.8 GB SCA
+    atlas per call)."""
     cache = {}
     for lvl in needed_lvls:
         h, w = spatial_shapes[lvl]
         b, _, heads, dim = value_levels[lvl].shape
-        pk = _pack_corners(value_levels[lvl].astype(jnp.float32), h, w)
+        pk = _pack_corners(value_levels[lvl].astype(dtype), h, w)
         cache[lvl] = pk.reshape(b, heads, h + 1, w + 1, 4 * dim)
     return cache
 
@@ -357,24 +423,72 @@ def _msda_fused_fwd_impl(value_levels, spatial_shapes, loc, weights,
     from vidar_tpu.ops.msda_pallas import (msda_gather_fused,
                                            msda_gather_fused16, pack_atlas16)
     b, q, heads = loc.shape[:3]
-    packed16 = value_levels[0].dtype == jnp.bfloat16
+    # Table dtype choice (measured v5e, SCA shapes: f32 47 ms vs u16 69 ms
+    # for the same single-group row work — the per-row u16 unpack costs
+    # ~0.9 cyc/row): prefer f32 tables UNLESS the f32 plan would
+    # column-split a level. Column chunks duplicate the full q x points row
+    # work of that level per chunk (every chunk processes all queries with
+    # off-chunk samples masked), which is far worse than the unpack — the
+    # u16 half-size tables typically keep such levels whole (TSA/decoder
+    # 200x200 BEV tables).
+    packed16 = False
+    if value_levels[0].dtype == jnp.bfloat16:
+        plan32 = _fused_plan(spatial_shapes, packed16=False)
+        n_entries32 = None if plan32 is None else sum(len(g) for g in plan32)
+        if plan32 is None or n_entries32 > len(spatial_shapes):
+            packed16 = True
     groups = _fused_plan(spatial_shapes, packed16=packed16)
     assert groups is not None  # caller checked
     interpret = jax.default_backend() == 'cpu'
-    cache = _packed_cache(value_levels, spatial_shapes,
-                          {e[0] for g in groups for e in g})
+    needed = {e[0] for g in groups for e in g}
+    whole = all(e[1] == 0 and e[2] == spatial_shapes[e[0]][1]
+                for g in groups for e in g)
 
     out = None
-    for entries in groups:
-        atlas, row_idx, cw4, _, _, _ = _prep_group(
-            cache, spatial_shapes, loc, weights, entries, q_block)
-        if packed16:
-            part = msda_gather_fused16(pack_atlas16(atlas), row_idx, cw4,
-                                       q_block=q_block, interpret=interpret)
-        else:
-            part = msda_gather_fused(atlas, row_idx, cw4,
-                                     q_block=q_block, interpret=interpret)
-        out = part if out is None else out + part
+    if whole:
+        # fast path (every production shape): per-level kernel-ready
+        # tables built once — row-padded at pack time and (for bf16)
+        # row-pair-packed — so single-entry groups alias with zero copies.
+        cache = _packed_cache(
+            value_levels, spatial_shapes, needed,
+            dtype=jnp.bfloat16 if packed16 else jnp.float32)
+        tables, table_rows = {}, {}
+        for lvl in needed:
+            h, w = spatial_shapes[lvl]
+            pk = cache[lvl].reshape(b * heads, (h + 1) * (w + 1), -1)
+            rpad = (-pk.shape[1]) % 8
+            if rpad:
+                pk = jnp.pad(pk, ((0, 0), (0, rpad), (0, 0)))
+            if packed16:
+                pk = pack_atlas16(pk)
+                table_rows[lvl] = 2 * pk.shape[1]
+            else:
+                table_rows[lvl] = pk.shape[1]
+            tables[lvl] = pk
+        kern = msda_gather_fused16 if packed16 else msda_gather_fused
+        for entries in groups:
+            atlas, row_idx, cw4 = _prep_group_fwd(
+                tables, table_rows, spatial_shapes, loc, weights, entries,
+                q_block)
+            part = kern(atlas, row_idx, cw4, q_block=q_block,
+                        interpret=interpret)
+            out = part if out is None else out + part
+    else:
+        cache = _packed_cache(
+            value_levels, spatial_shapes, needed,
+            dtype=jnp.bfloat16 if packed16 else jnp.float32)
+        for entries in groups:
+            atlas, row_idx, cw4, _, _, _ = _prep_group(
+                cache, spatial_shapes, loc, weights, entries, q_block)
+            if packed16:
+                part = msda_gather_fused16(pack_atlas16(atlas), row_idx,
+                                           cw4, q_block=q_block,
+                                           interpret=interpret)
+            else:
+                part = msda_gather_fused(atlas, row_idx, cw4,
+                                         q_block=q_block,
+                                         interpret=interpret)
+            out = part if out is None else out + part
     dim = out.shape[-1]
     out = out[:, :q].reshape(b, heads, q, dim).transpose(0, 2, 1, 3)
     return out.reshape(b, q, heads * dim)

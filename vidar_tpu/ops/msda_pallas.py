@@ -80,10 +80,10 @@ def _expand_mat(sc):
     return (dst // DIM == src).astype(jnp.float32)
 
 
-def _gather_chunk(table, idx_ref, q0, s0, sc):
-    """[QT, sc*128] gathered rows, query-major, samples along lanes."""
+def _gather_chunk(table, idx_ref, q0, s0, sc, qt=QT):
+    """[qt, sc*128] gathered rows, query-major, samples along lanes."""
     qrows = []
-    for j in range(QT):
+    for j in range(qt):
         samples = [table[pl.ds(idx_ref[0, q0 + j, s0 + k], 1), :]
                    for k in range(sc)]
         qrows.append(samples[0] if sc == 1
@@ -91,8 +91,11 @@ def _gather_chunk(table, idx_ref, q0, s0, sc):
     return jnp.concatenate(qrows, axis=0)
 
 
-def _fused_kernel(idx_ref, cw_ref, atlas_ref, out_ref, table, sem):
-    """One (c, q-block) grid step; see module docstring for layouts."""
+def _fused_kernel(qt, idx_ref, cw_ref, atlas_ref, out_ref, table, sem):
+    """One (c, q-block) grid step; see module docstring for layouts.
+    ``qt`` queries per inner tile — raised above QT for small S so the
+    fixed per-tile cost (MXU weight expansion, loop overhead) amortizes
+    over more gather rows."""
     c = pl.program_id(0)
     qb = pl.program_id(1)
     s = cw_ref.shape[2] // 4
@@ -109,11 +112,11 @@ def _fused_kernel(idx_ref, cw_ref, atlas_ref, out_ref, table, sem):
     emats = {sc: _expand_mat(sc) for _, sc in _chunks(s)}
 
     def tile(i, _):
-        q0 = pl.multiple_of(i * QT, QT)
-        acc = jnp.zeros((QT, DIM), jnp.float32)
+        q0 = pl.multiple_of(i * qt, qt)
+        acc = jnp.zeros((qt, DIM), jnp.float32)
         for (s0, sc) in _chunks(s):
-            g = _gather_chunk(table, idx_ref, q0, s0, sc)  # [QT, sc*128]
-            cw = cw_ref[0, pl.ds(q0, QT), 4 * s0:4 * (s0 + sc)]
+            g = _gather_chunk(table, idx_ref, q0, s0, sc, qt)
+            cw = cw_ref[0, pl.ds(q0, qt), 4 * s0:4 * (s0 + sc)]
             w_rep = jax.lax.dot_general(
                 cw, emats[sc], dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=_HI)
@@ -121,10 +124,10 @@ def _fused_kernel(idx_ref, cw_ref, atlas_ref, out_ref, table, sem):
             # sum the 4*sc 32-lane segments (samples AND corners)
             for b in range(4 * sc):
                 acc = acc + p[:, b * DIM:(b + 1) * DIM]
-        out_ref[0, pl.ds(q0, QT), :] = acc
+        out_ref[0, pl.ds(q0, qt), :] = acc
         return 0
 
-    jax.lax.fori_loop(0, q_blk // QT, tile, 0)
+    jax.lax.fori_loop(0, q_blk // qt, tile, 0)
 
 
 @functools.partial(jax.jit, static_argnames=('q_block', 'interpret'))
@@ -138,11 +141,12 @@ def msda_gather_fused(atlas: jnp.ndarray, row_idx: jnp.ndarray,
     c, r, lanes = atlas.shape
     assert atlas.dtype == jnp.float32 and lanes == 4 * DIM
     _, q, s = row_idx.shape
-    assert q % q_block == 0 and q_block % QT == 0
+    qt = 32 if s <= 4 else (16 if s <= 8 else QT)
+    assert q % q_block == 0 and q_block % qt == 0
     assert cw4.shape == (c, q, 4 * s)
 
     return pl.pallas_call(
-        _fused_kernel,
+        functools.partial(_fused_kernel, qt),
         grid=(c, q // q_block),
         in_specs=[
             pl.BlockSpec((1, q_block, s), lambda ci, qi: (ci, qi, 0),
@@ -162,8 +166,8 @@ def msda_gather_fused(atlas: jnp.ndarray, row_idx: jnp.ndarray,
     )(row_idx, cw4, atlas)
 
 
-def _gather_chunk16(table, idx_ref, q0, s0, sc):
-    """[QT, sc*128] rows gathered from a row-pair-packed uint32 table.
+def _gather_chunk16(table, idx_ref, q0, s0, sc, qt=QT):
+    """[qt, sc*128] rows gathered from a row-pair-packed uint32 table.
 
     Table row k packs value rows 2k (high 16 bits) and 2k+1 (low bits) as
     bf16 bit patterns; the f32 value is recovered by shifting the target
@@ -173,7 +177,7 @@ def _gather_chunk16(table, idx_ref, q0, s0, sc):
     """
     mask = jnp.uint32(0xffff0000)
     qrows = []
-    for j in range(QT):
+    for j in range(qt):
         samples = []
         for k in range(sc):
             r = idx_ref[0, q0 + j, s0 + k]
@@ -187,7 +191,7 @@ def _gather_chunk16(table, idx_ref, q0, s0, sc):
     return jnp.concatenate(qrows, axis=0)
 
 
-def _fused16_kernel(idx_ref, cw_ref, atlas_ref, out_ref, table, sem):
+def _fused16_kernel(qt, idx_ref, cw_ref, atlas_ref, out_ref, table, sem):
     """``_fused_kernel`` over a row-pair-packed uint32 table."""
     c = pl.program_id(0)
     qb = pl.program_id(1)
@@ -203,28 +207,29 @@ def _fused16_kernel(idx_ref, cw_ref, atlas_ref, out_ref, table, sem):
     emats = {sc: _expand_mat(sc) for _, sc in _chunks(s)}
 
     def tile(i, _):
-        q0 = pl.multiple_of(i * QT, QT)
-        acc = jnp.zeros((QT, DIM), jnp.float32)
+        q0 = pl.multiple_of(i * qt, qt)
+        acc = jnp.zeros((qt, DIM), jnp.float32)
         for (s0, sc) in _chunks(s):
-            g = _gather_chunk16(table, idx_ref, q0, s0, sc)
-            cw = cw_ref[0, pl.ds(q0, QT), 4 * s0:4 * (s0 + sc)]
+            g = _gather_chunk16(table, idx_ref, q0, s0, sc, qt)
+            cw = cw_ref[0, pl.ds(q0, qt), 4 * s0:4 * (s0 + sc)]
             w_rep = jax.lax.dot_general(
                 cw, emats[sc], dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=_HI)
             p = g * w_rep
             for b in range(4 * sc):
                 acc = acc + p[:, b * DIM:(b + 1) * DIM]
-        out_ref[0, pl.ds(q0, QT), :] = acc
+        out_ref[0, pl.ds(q0, qt), :] = acc
         return 0
 
-    jax.lax.fori_loop(0, q_blk // QT, tile, 0)
+    jax.lax.fori_loop(0, q_blk // qt, tile, 0)
 
 
 def pack_atlas16(atlas: jnp.ndarray) -> jnp.ndarray:
-    """[C, R, 128] f32 -> [C, ceil(R/2) padded to 8, 128] uint32 row pairs.
+    """[C, R, 128] f32/bf16 -> [C, ceil(R/2) padded to 8, 128] uint32 pairs.
 
     Row k of the output packs source rows 2k (high half) and 2k+1 (low):
     exact for bf16-representable values (the production value dtype).
+    bf16 input skips the f32 round-trip (half the pack traffic).
     """
     c, r, lanes = atlas.shape
     if r % 2:
@@ -251,11 +256,12 @@ def msda_gather_fused16(atlas16: jnp.ndarray, row_idx: jnp.ndarray,
     c, rp, lanes = atlas16.shape
     assert atlas16.dtype == jnp.uint32 and lanes == 4 * DIM
     _, q, s = row_idx.shape
-    assert q % q_block == 0 and q_block % QT == 0
+    qt = 32 if s <= 4 else (16 if s <= 8 else QT)
+    assert q % q_block == 0 and q_block % qt == 0
     assert cw4.shape == (c, q, 4 * s)
 
     return pl.pallas_call(
-        _fused16_kernel,
+        functools.partial(_fused16_kernel, qt),
         grid=(c, q // q_block),
         in_specs=[
             pl.BlockSpec((1, q_block, s), lambda ci, qi: (ci, qi, 0),
