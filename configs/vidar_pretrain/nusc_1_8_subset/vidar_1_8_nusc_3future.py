@@ -43,10 +43,10 @@ model = dict(
     use_dense_loss=True,
     decoder_num_layers=3,
     encoder_num_layers=6,
-    # nuScenes per-camera visibility peaks ~0.35*num_query; 0.4 keeps
-    # margin and cuts the SCA gather ~20% (sca_capacity_overflow telemetry
-    # must stay zero on real data)
-    sca_capacity_ratio=0.4,
+    # nuScenes per-camera visibility peaks ~0.35*num_query; 0.37 keeps
+    # a small margin and cuts the SCA gather ~26% (sca_capacity_overflow
+    # telemetry must stay zero on real data)
+    sca_capacity_ratio=0.37,
     latent_render_lids=(2,),
     latent_render_cfg=dict(embed_dims=256, pred_height=16, num_pred_fcs=0,
                            grid_step=0.5, grid_num=256, reduction=16,

@@ -48,11 +48,11 @@ def vidar_base(**overrides) -> Dict[str, Any]:
         latent_render_lids=(2,),
         latent_render_cfg=dict(LATENT_RENDER_CFG),
         # SCA visible-query capacity: nuScenes per-camera visibility peaks
-        # ~0.35 of num_query (docs/PERFORMANCE.md); 0.4 keeps margin and
-        # cuts the SCA gather ~20% vs the safe 0.5 default. The sowed
-        # sca_capacity_overflow intermediate validates a setting on real
-        # data (must stay zero).
-        sca_capacity_ratio=0.4,
+        # ~0.35 of num_query (docs/PERFORMANCE.md); 0.37 keeps a small
+        # margin and cuts the SCA gather ~26% vs the safe 0.5 default. The
+        # sowed sca_capacity_overflow intermediate validates a setting on
+        # real data (must stay zero).
+        sca_capacity_ratio=0.37,
     )
     cfg.update(overrides)
     return cfg

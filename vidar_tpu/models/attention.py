@@ -227,6 +227,28 @@ def _z_anchor_locations(offsets, reference_points_cam, spatial_shapes):
     return (ref + offsets).reshape(bs, num_query, h, lv, p, 2)
 
 
+def sca_compaction(reference_points_cam, bev_mask, cap: int):
+    """Per-frame compaction plan for SpatialCrossAttention.
+
+    Depends only on the camera geometry (bev_mask / reference points), so
+    the encoder computes it ONCE per frame and shares it across all 6
+    layers instead of rebuilding the partition + gathers per layer.
+
+    Returns (sel [bs, cams, cap], sel_valid [bs, cams, cap],
+    ref_c [bs*cams, cap, D, 2], visible [bs, cams, Q], overflow [bs, cams]).
+    """
+    visible = jnp.any(bev_mask, axis=-1).transpose(1, 0, 2)  # [bs, cams, Q]
+    ref = reference_points_cam.transpose(1, 0, 2, 3, 4)      # [bs,cams,Q,D,2]
+    bs, num_cams, num_query = visible.shape
+    vis_count = visible.sum(axis=2)
+    overflow = jnp.clip(vis_count - cap, 0, None)
+    sel = _stable_partition_indices(visible)[:, :, :cap]
+    sel_valid = jnp.take_along_axis(visible, sel, axis=2)
+    ref_c = jnp.take_along_axis(ref, sel[..., None, None], axis=2)
+    ref_c = ref_c.reshape(bs * num_cams, cap, -1, 2)
+    return sel, sel_valid, ref_c, visible, overflow
+
+
 class SpatialCrossAttention(nn.Module):
     """Per-camera deformable image cross-attention with visibility masking.
 
@@ -253,13 +275,17 @@ class SpatialCrossAttention(nn.Module):
     @nn.compact
     def __call__(self, query, value, reference_points_cam, bev_mask,
                  spatial_shapes: Sequence[Tuple[int, int]],
-                 query_pos=None, identity=None, *, deterministic: bool = True):
+                 query_pos=None, identity=None, compact=None,
+                 *, deterministic: bool = True):
         """
         Args:
           query: [bs, Q, C] BEV queries.
           value: [bs, num_cams, V, C] flattened multi-level camera features.
           reference_points_cam: [num_cams, bs, Q, D, 2] in [0, 1].
           bev_mask: [num_cams, bs, Q, D] bool visibility.
+          compact: optional precomputed ``sca_compaction`` result — the
+            plan is geometry-only, so the encoder computes it once per
+            frame and shares it across its layers.
         """
         bs, num_query, c = query.shape
         num_cams = value.shape[1]
@@ -278,10 +304,6 @@ class SpatialCrossAttention(nn.Module):
         value_p = proj.value_proj(value)  # [bs, cams, V, C]
         value_p = value_p.reshape(bs * num_cams, value.shape[2], h, head_dim)
 
-        visible = jnp.any(bev_mask, axis=-1)  # [cams, bs, Q]
-        visible = visible.transpose(1, 0, 2)  # [bs, cams, Q]
-        ref = reference_points_cam.transpose(1, 0, 2, 3, 4)  # [bs,cams,Q,D,2]
-
         cap = (int(num_query * self.capacity_ratio)
                if 0 < self.capacity_ratio < 1 else num_query)
         if cap < num_query:
@@ -298,18 +320,17 @@ class SpatialCrossAttention(nn.Module):
             # other geometries (8-cam OpenScene) are unverified — sow the
             # overflow so debug runs (mutable=['intermediates']) can assert
             # it stays zero before trusting a capacity_ratio setting.
-            vis_count = visible.sum(axis=2)            # [bs, cams]
-            self.sow('intermediates', 'sca_capacity_overflow',
-                     jnp.clip(vis_count - cap, 0, None))
-            sel = _stable_partition_indices(visible)[:, :, :cap]
-            sel_valid = jnp.take_along_axis(visible, sel, axis=2)
+            if compact is None:
+                compact = sca_compaction(reference_points_cam, bev_mask,
+                                         cap)
+            sel, sel_valid, ref_c, visible, overflow = compact
+            assert sel.shape[-1] == cap
+            self.sow('intermediates', 'sca_capacity_overflow', overflow)
 
             q_c = jnp.take_along_axis(query[:, None], sel[..., None], axis=2)
             q_c = q_c.reshape(bs * num_cams, cap, self.embed_dims)
             offsets, weights = _deform_offsets_weights(proj, q_c, h, lv, p)
 
-            ref_c = jnp.take_along_axis(ref, sel[..., None, None], axis=2)
-            ref_c = ref_c.reshape(bs * num_cams, cap, -1, 2)
             loc = _z_anchor_locations(offsets, ref_c, spatial_shapes)
             cam_out = msdeform_attn(value_p, list(spatial_shapes), loc,
                                     weights)
@@ -329,6 +350,8 @@ class SpatialCrossAttention(nn.Module):
                 unique_indices=True)
             cam_out = scat.reshape(bs, num_cams, num_query, self.embed_dims)
         else:
+            visible = jnp.any(bev_mask, axis=-1).transpose(1, 0, 2)
+            ref = reference_points_cam.transpose(1, 0, 2, 3, 4)
             offsets, weights = _deform_offsets_weights(proj, query, h, lv, p)
             ref_f = ref.reshape(bs * num_cams, num_query, -1, 2)
             off_t = jnp.broadcast_to(

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 import flax.linen as nn
 
-from .attention import TemporalSelfAttention, SpatialCrossAttention
+from .attention import (TemporalSelfAttention, SpatialCrossAttention,
+                        sca_compaction)
 from .latent_rendering import LatentRendering
 from .layers import FFN
 
@@ -120,7 +121,7 @@ class BEVFormerLayer(nn.Module):
 
     @nn.compact
     def __call__(self, query, value_pair, ref_2d_pair, cam_value, ref_cam,
-                 bev_mask, bev_pos):
+                 bev_mask, bev_pos, sca_compact=None):
         bs = query.shape[0]
         bev_h, bev_w = self.bev_h, self.bev_w
         spatial_shapes = self.spatial_shapes
@@ -138,7 +139,7 @@ class BEVFormerLayer(nn.Module):
             capacity_ratio=self.sca_capacity_ratio,
             dtype=self.dtype, name='attentions_1')(
                 query, cam_value, ref_cam, bev_mask, spatial_shapes,
-                deterministic=deterministic)
+                compact=sca_compact, deterministic=deterministic)
         query = nn.LayerNorm(name='norms_1')(query)
         if self.with_latent_render:
             cfg = self.latent_render_cfg or {}
@@ -212,6 +213,13 @@ class BEVFormerEncoder(nn.Module):
 
         query = bev_query
         intermediate = []
+        # the SCA compaction plan is geometry-only — build it once per
+        # frame and share it across all layers (saves the per-layer
+        # partition + reference gathers).
+        cap = (int(n * self.sca_capacity_ratio)
+               if 0 < self.sca_capacity_ratio < 1 else n)
+        sca_compact = (sca_compaction(ref_cam, bev_mask, cap)
+                       if cap < n else None)
         layer_cls = BEVFormerLayer
         if self.remat:
             layer_cls = nn.remat(BEVFormerLayer, static_argnums=())
@@ -234,7 +242,7 @@ class BEVFormerEncoder(nn.Module):
                 deterministic=deterministic,
                 dtype=self.dtype, name=f'layers_{lid}')(
                     query, layer_value_pair, ref_pair, cam_value, ref_cam,
-                    bev_mask, bev_pos)
+                    bev_mask, bev_pos, sca_compact)
             if lid in self.latent_render_lids:
                 # refresh the current slot of the TSA queue after latent
                 # rendering (reference encoder.py:241-245).
