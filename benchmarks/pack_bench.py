@@ -72,10 +72,27 @@ def main():
         packed = jnp.concatenate([c00, c01, c10, c11], axis=-1)
         return packed.reshape(b, heads, (h + 1) * (w + 1), 4 * dim)
 
+    def pack_conv(value_l):
+        from vidar_tpu.ops.msda import _pack_corners
+        return _pack_corners(value_l, h, w, out_dtype=jnp.float32)
+
+    def pack_conv_notrans(value_l):
+        # conv output in [B, R, heads*4*dim] layout (no final transpose) —
+        # what a head-indexed kernel BlockSpec could consume directly.
+        from vidar_tpu.ops.msda import _pack_kernel
+        x = value_l.reshape(b, h, w, heads * dim)
+        kern = jnp.asarray(_pack_kernel(heads, dim, value_l.dtype))
+        return jax.lax.conv_general_dilated(
+            x, kern, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            feature_group_count=heads, preferred_element_type=jnp.float32)
+
     bench('pack current        ', jax.jit(pack_current), value)
     bench('pack barrier        ', jax.jit(pack_barrier), value)
     bench('pack bf16 then cast ', jax.jit(pack_bf16_then_cast), value)
     bench('pack pad-offset     ', jax.jit(pack_dynslice), value)
+    bench('pack conv (grouped) ', jax.jit(pack_conv), value)
+    bench('pack conv no-transp ', jax.jit(pack_conv_notrans), value)
 
 
 if __name__ == '__main__':

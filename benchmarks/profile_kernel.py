@@ -1,5 +1,8 @@
 """Kernel-level gather-rate bench: msda_gather_fused at SCA/TSA shapes."""
 
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 from functools import partial
 
