@@ -87,6 +87,16 @@ def main():
             dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
             feature_group_count=heads, preferred_element_type=jnp.float32)
 
+    # one-time equivalence check: a layout/ordering regression in the conv
+    # formulation must not go unnoticed by the bench
+    ref = np.asarray(jax.jit(pack_current)(value))
+    got = np.asarray(jax.jit(pack_conv)(value))
+    np.testing.assert_array_equal(ref, got)
+    got_nt = np.asarray(jax.jit(pack_conv_notrans)(value)).reshape(
+        b, (h + 1) * (w + 1), heads, 4 * dim).transpose(0, 2, 1, 3)
+    np.testing.assert_array_equal(ref, got_nt)
+    print('pack_conv / pack_conv_notrans match pack_current', flush=True)
+
     bench('pack current        ', jax.jit(pack_current), value)
     bench('pack barrier        ', jax.jit(pack_barrier), value)
     bench('pack bf16 then cast ', jax.jit(pack_bf16_then_cast), value)

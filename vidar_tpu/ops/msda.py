@@ -84,7 +84,6 @@ def _pack_kernel(heads: int, dim: int, dtype) -> 'np.ndarray':
     copied to output channel ``f*dim + d`` of group h where ``f = dy*2+dx``
     indexes the corner. Single-term sums, so the conv is bit-exact.
     """
-    import numpy as np
     k = np.zeros((2, 2, dim, heads * 4 * dim), np.float32)
     d = np.arange(dim)
     for hh in range(heads):
@@ -120,6 +119,7 @@ def _pack_corners(value_l: jnp.ndarray, h: int, w: int,
         x, kern, window_strides=(1, 1), padding=((1, 1), (1, 1)),
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
         feature_group_count=heads,
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=out_dtype)
     out = out.reshape(b, (h + 1) * (w + 1), heads, 4 * dim)
     return out.transpose(0, 2, 1, 3)
@@ -300,7 +300,6 @@ def _cw4_mats(s: int):
     sidesteps the stack/reshape granule-4 lane shuffle that XLA codegens
     ~10x off the bandwidth floor. Exact: single-nonzero columns, f32 at
     HIGHEST precision; ``-wy1 + 1 == 1 - wy1`` in f32."""
-    import numpy as np
     l = np.arange(4 * s)
     src = l // 4
     corner = l % 4
