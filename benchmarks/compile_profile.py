@@ -18,6 +18,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# the axon plugin force-selects TPU over the JAX_PLATFORMS env var; the
+# config knob wins (same trick as __graft_entry__.dryrun_multichip)
+jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_num_cpu_devices', 8)
 # fresh cache: we are measuring cold compiles
 jax.config.update('jax_compilation_cache_dir', '/tmp/cc_profile_fresh')

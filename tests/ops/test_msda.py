@@ -238,6 +238,96 @@ def test_msda_fused16_exact_vs_f32_table(monkeypatch):
     np.testing.assert_array_equal(got, want)
 
 
+def test_msda_tables_hoisted_matches_direct():
+    """Table-hoisted path (pack raw once + fold value_proj per layer) vs
+    projecting first and packing inside msdeform_attn — fwd and grads,
+    including grads through the projection kernel/bias."""
+    import jax
+    from vidar_tpu.ops.msda import (pack_raw_levels, tables_from_packed_raw,
+                                    msdeform_attn_tables,
+                                    fused_tables_feasible)
+
+    rng = np.random.default_rng(17)
+    spatial_shapes = ((12, 20), (6, 10))
+    b, heads, dim, q, p, cin = 2, 2, 32, 21, 3, 48
+    assert fused_tables_feasible(spatial_shapes, dim)
+    v_len = sum(h * w for h, w in spatial_shapes)
+    raw = jnp.asarray(rng.standard_normal((b, v_len, cin)), jnp.float32)
+    kern = jnp.asarray(rng.standard_normal((cin, heads * dim)) * 0.1,
+                       jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((heads * dim,)) * 0.1,
+                       jnp.float32)
+    # includes out-of-range locations: ring corners must stay exactly zero
+    # despite the bias fold
+    loc = jnp.asarray(rng.uniform(-0.15, 1.1, (b, q, heads, 2, p, 2)),
+                      jnp.float32)
+    w = jnp.asarray(rng.uniform(size=(b, q, heads, 2, p)), jnp.float32)
+
+    def hoisted(raw, kern, bias, loc, w):
+        packed = pack_raw_levels(raw, spatial_shapes)
+        tables, table_rows = tables_from_packed_raw(packed, kern, bias,
+                                                    heads)
+        return msdeform_attn_tables(tables, table_rows, spatial_shapes,
+                                    loc, w)
+
+    def direct(raw, kern, bias, loc, w):
+        vp = (raw @ kern + bias).reshape(b, v_len, heads, dim)
+        return msdeform_attn(vp, list(spatial_shapes), loc, w,
+                             impl='packed')
+
+    got = np.asarray(hoisted(raw, kern, bias, loc, w))
+    want = np.asarray(direct(raw, kern, bias, loc, w))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+    def loss(fn):
+        return lambda *a: (fn(*a) ** 2).sum()
+
+    g_h = jax.grad(loss(hoisted), argnums=(0, 1, 2, 3, 4))(
+        raw, kern, bias, loc, w)
+    g_d = jax.grad(loss(direct), argnums=(0, 1, 2, 3, 4))(
+        raw, kern, bias, loc, w)
+    for gh, gd in zip(g_h, g_d):
+        np.testing.assert_allclose(np.asarray(gh), np.asarray(gd),
+                                   atol=2e-3, rtol=2e-3)
+
+
+def test_sca_packed_raw_matches_unpacked():
+    """SpatialCrossAttention with the encoder-hoisted packed_raw must match
+    the per-layer value_proj+pack path on the same params."""
+    import jax
+    from vidar_tpu.models.attention import SpatialCrossAttention
+    from vidar_tpu.ops.msda import pack_raw_levels, fused_tables_feasible
+
+    rng = np.random.default_rng(23)
+    spatial_shapes = ((12, 20), (6, 10))
+    embed, cams, nq, d_anchor = 64, 2, 60, 4
+    heads = 2  # head_dim 32 = fused DIM
+    assert fused_tables_feasible(spatial_shapes, embed // heads)
+    v_len = sum(h * w for h, w in spatial_shapes)
+    key = __import__('jax').random.PRNGKey(0)
+
+    sca = SpatialCrossAttention(embed_dims=embed, num_cams=cams,
+                                deform_num_heads=heads,
+                                deform_num_levels=len(spatial_shapes),
+                                deform_num_points=4, capacity_ratio=0.5)
+    query = jnp.asarray(rng.standard_normal((1, nq, embed)), jnp.float32)
+    value = jnp.asarray(rng.standard_normal((1, cams, v_len, embed)),
+                        jnp.float32)
+    ref_cam = jnp.asarray(rng.uniform(0, 1, (cams, 1, nq, d_anchor, 2)),
+                          jnp.float32)
+    bev_mask = jnp.asarray(rng.uniform(size=(cams, 1, nq, d_anchor)) > 0.5)
+
+    params = sca.init(key, query, value, ref_cam, bev_mask, spatial_shapes)
+    base = sca.apply(params, query, value, ref_cam, bev_mask,
+                     spatial_shapes)
+    packed = pack_raw_levels(value.reshape(cams, v_len, embed),
+                             spatial_shapes)
+    hoisted = sca.apply(params, query, value, ref_cam, bev_mask,
+                        spatial_shapes, packed_raw=packed)
+    np.testing.assert_allclose(np.asarray(hoisted), np.asarray(base),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_msda_fused16_plan_halves_groups(monkeypatch):
     """A single-level BEV table that column-splits under f32 fits one
     packed16 group (the TSA/decoder production regime)."""

@@ -90,6 +90,19 @@ def vidar_openscene_3future() -> Dict[str, Any]:
     )
 
 
+def vidar_dryrun(**overrides) -> Dict[str, Any]:
+    """Minimum graph that still exercises every training subsystem
+    (backbone+FPN, TSA/SCA encoder with latent render, history scan,
+    rollout scan, multi-frame head, ray losses, optimizer): the driver's
+    multi-chip dryrun compiles this on single-core XLA:CPU where compile
+    time is the budget, so layer counts are 1."""
+    return vidar_tiny(
+        encoder_num_layers=1,
+        decoder_num_layers=1,
+        latent_render_lids=(0,),
+        **overrides)
+
+
 def vidar_tiny(**overrides) -> Dict[str, Any]:
     """Small config for tests / multi-chip dryruns."""
     cfg = vidar_base(

@@ -31,7 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 import flax.linen as nn
 
-from ..ops.msda import msdeform_attn
+from ..ops.msda import (msdeform_attn, msdeform_attn_tables,
+                        tables_from_packed_raw)
 from .layers import xavier_uniform_init
 
 
@@ -276,7 +277,7 @@ class SpatialCrossAttention(nn.Module):
     def __call__(self, query, value, reference_points_cam, bev_mask,
                  spatial_shapes: Sequence[Tuple[int, int]],
                  query_pos=None, identity=None, compact=None,
-                 *, deterministic: bool = True):
+                 packed_raw=None, *, deterministic: bool = True):
         """
         Args:
           query: [bs, Q, C] BEV queries.
@@ -286,6 +287,13 @@ class SpatialCrossAttention(nn.Module):
           compact: optional precomputed ``sca_compaction`` result — the
             plan is geometry-only, so the encoder computes it once per
             frame and shares it across its layers.
+          packed_raw: optional frame-constant raw corner pack of ``value``
+            (``ops.msda.pack_raw_levels`` of the same [bs*cams, V, C]
+            features) — the camera features are identical across the
+            encoder layers of a frame, so the encoder packs them ONCE and
+            every layer folds only its own value_proj into the packed rows
+            (one MXU matmul) instead of re-packing the whole atlas.
+            Caller must pre-check ``ops.msda.fused_tables_feasible``.
         """
         bs, num_query, c = query.shape
         num_cams = value.shape[1]
@@ -301,8 +309,21 @@ class SpatialCrossAttention(nn.Module):
                     self.deform_num_points)
 
         head_dim = self.embed_dims // h
-        value_p = proj.value_proj(value)  # [bs, cams, V, C]
-        value_p = value_p.reshape(bs * num_cams, value.shape[2], h, head_dim)
+        if packed_raw is not None:
+            # table-hoisted path: touch value_proj on a dummy row so its
+            # params exist under the standard name, then fold them into
+            # the prebuilt raw pack.
+            proj.value_proj(jnp.zeros((1, 1, c), value.dtype))
+            vp = proj.value_proj.variables['params']
+            kern = vp['kernel'].astype(value.dtype)
+            vbias = vp['bias'].astype(value.dtype)
+            tables, table_rows = tables_from_packed_raw(
+                packed_raw, kern, vbias, h, round_dtype=self.dtype)
+            value_p = None
+        else:
+            value_p = proj.value_proj(value)  # [bs, cams, V, C]
+            value_p = value_p.reshape(bs * num_cams, value.shape[2], h,
+                                      head_dim)
 
         cap = (int(num_query * self.capacity_ratio)
                if 0 < self.capacity_ratio < 1 else num_query)
@@ -332,8 +353,12 @@ class SpatialCrossAttention(nn.Module):
             offsets, weights = _deform_offsets_weights(proj, q_c, h, lv, p)
 
             loc = _z_anchor_locations(offsets, ref_c, spatial_shapes)
-            cam_out = msdeform_attn(value_p, list(spatial_shapes), loc,
-                                    weights)
+            if packed_raw is not None:
+                cam_out = msdeform_attn_tables(tables, table_rows,
+                                               spatial_shapes, loc, weights)
+            else:
+                cam_out = msdeform_attn(value_p, list(spatial_shapes), loc,
+                                        weights)
             cam_out = cam_out.reshape(bs, num_cams, cap, self.embed_dims)
             cam_out = cam_out * sel_valid[..., None].astype(cam_out.dtype)
 
@@ -361,7 +386,12 @@ class SpatialCrossAttention(nn.Module):
             w_t = jnp.broadcast_to(
                 weights[:, None], (bs, num_cams) + weights.shape[1:]).reshape(
                 (bs * num_cams,) + weights.shape[1:])
-            cam_out = msdeform_attn(value_p, list(spatial_shapes), loc, w_t)
+            if packed_raw is not None:
+                cam_out = msdeform_attn_tables(tables, table_rows,
+                                               spatial_shapes, loc, w_t)
+            else:
+                cam_out = msdeform_attn(value_p, list(spatial_shapes), loc,
+                                        w_t)
             cam_out = cam_out.reshape(bs, num_cams, num_query,
                                       self.embed_dims)
             cam_out = cam_out * visible[..., None].astype(cam_out.dtype)

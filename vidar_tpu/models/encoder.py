@@ -27,6 +27,7 @@ import flax.linen as nn
 
 from .attention import (TemporalSelfAttention, SpatialCrossAttention,
                         sca_compaction)
+from ..ops.msda import pack_raw_levels, fused_tables_feasible
 from .latent_rendering import LatentRendering
 from .layers import FFN
 
@@ -121,7 +122,7 @@ class BEVFormerLayer(nn.Module):
 
     @nn.compact
     def __call__(self, query, value_pair, ref_2d_pair, cam_value, ref_cam,
-                 bev_mask, bev_pos, sca_compact=None):
+                 bev_mask, bev_pos, sca_compact=None, sca_packed_raw=None):
         bs = query.shape[0]
         bev_h, bev_w = self.bev_h, self.bev_w
         spatial_shapes = self.spatial_shapes
@@ -139,7 +140,8 @@ class BEVFormerLayer(nn.Module):
             capacity_ratio=self.sca_capacity_ratio,
             dtype=self.dtype, name='attentions_1')(
                 query, cam_value, ref_cam, bev_mask, spatial_shapes,
-                compact=sca_compact, deterministic=deterministic)
+                compact=sca_compact, packed_raw=sca_packed_raw,
+                deterministic=deterministic)
         query = nn.LayerNorm(name='norms_1')(query)
         if self.with_latent_render:
             cfg = self.latent_render_cfg or {}
@@ -220,6 +222,18 @@ class BEVFormerEncoder(nn.Module):
                if 0 < self.sca_capacity_ratio < 1 else n)
         sca_compact = (sca_compaction(ref_cam, bev_mask, cap)
                        if cap < n else None)
+        # The SCA value (camera features) is frame-constant too: corner-pack
+        # it ONCE here and let each layer fold only its value_proj into the
+        # packed rows (ops/msda.pack_raw_levels docstring). CPU keeps the
+        # XLA path (the fused kernel would run interpreted there).
+        sca_packed_raw = None
+        if (jax.default_backend() != 'cpu' and self.embed_dims % 8 == 0
+                and fused_tables_feasible(tuple(spatial_shapes),
+                                          self.embed_dims // 8)):
+            bsc, cams, v_len, cdim = cam_value.shape
+            sca_packed_raw = pack_raw_levels(
+                cam_value.reshape(bsc * cams, v_len, cdim),
+                tuple(spatial_shapes))
         layer_cls = BEVFormerLayer
         if self.remat:
             layer_cls = nn.remat(BEVFormerLayer, static_argnums=())
@@ -242,7 +256,7 @@ class BEVFormerEncoder(nn.Module):
                 deterministic=deterministic,
                 dtype=self.dtype, name=f'layers_{lid}')(
                     query, layer_value_pair, ref_pair, cam_value, ref_cam,
-                    bev_mask, bev_pos, sca_compact)
+                    bev_mask, bev_pos, sca_compact, sca_packed_raw)
             if lid in self.latent_render_lids:
                 # refresh the current slot of the TSA queue after latent
                 # rendering (reference encoder.py:241-245).

@@ -354,9 +354,12 @@ _aggregate.defvjp(_aggregate_fwd, _aggregate_bwd)
 def ray_aggregate(fused_map, grids, radial_norm, steps, c_r, zdim, eps,
                   ray_chunk):
     group = c_r // zdim
-    if jax.default_backend() == 'cpu' or group != 1:
+    if (jax.default_backend() == 'cpu' or group != 1
+            or (8 * c_r) % 128 != 0):
         # the fused kernel assumes feat/prob channel parity (group == 1,
-        # true for every released config)
+        # true for every released config) and 128-lane packed rows
+        # (4 corners x 2*c_r; c_r=16 in every released config — Mosaic
+        # faults DMA-slicing a lane-padded table at smaller widths)
         return _aggregate_xla(fused_map, grids, radial_norm, steps, c_r,
                               zdim, eps, ray_chunk)
     return _aggregate(fused_map, grids, radial_norm, steps, c_r, zdim, eps,

@@ -24,6 +24,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# per-head channel dim of the fused kernel (== msda_pallas.DIM; duplicated
+# here so the planning helpers don't import the Pallas module eagerly)
+DIM_TABLE = 32
+
 
 def _level_sample(value_l: jnp.ndarray, loc: jnp.ndarray, h: int, w: int):
     """Bilinear sample of one level's per-head value maps.
@@ -405,7 +409,9 @@ def _prep_group_fwd(tables, table_rows, spatial_shapes, loc, weights,
     the pre-padded tables (no extra pad pass — the old path re-padded the
     ~0.6 GB SCA atlas per call).
 
-    Returns (atlas [C, R, 128], row_idx [C, Qp, S], cw4 [C, Qp, 4S]).
+    Returns (atlas [C, R, 128], row_idx [C, Qp, S], cw4 [C, Qp, 4S],
+    wx1/wy1/aw [C, Qp, S] — the q-padded fractions the backward kernels
+    consume; forward-only callers ignore them, XLA DCEs).
     """
     b, q, heads = loc.shape[:3]
     rows, aws, wxs, wys = [], [], [], []
@@ -443,10 +449,221 @@ def _prep_group_fwd(tables, table_rows, spatial_shapes, loc, weights,
     if pad:
         row_idx = jnp.pad(row_idx, ((0, 0), (0, pad), (0, 0)))
         cw4 = jnp.pad(cw4, ((0, 0), (0, pad), (0, 0)))
+        wx1 = jnp.pad(wx1, ((0, 0), (0, pad), (0, 0)))
+        wy1 = jnp.pad(wy1, ((0, 0), (0, pad), (0, 0)))
+        aw = jnp.pad(aw, ((0, 0), (0, pad), (0, 0)))
     lvls = [e[0] for e in entries]
     atlas = (tables[lvls[0]] if len(lvls) == 1
              else jnp.concatenate([tables[lv] for lv in lvls], axis=1))
-    return atlas, row_idx, cw4
+    return atlas, row_idx, cw4, wx1, wy1, aw
+
+
+def pack_raw_levels(value, spatial_shapes):
+    """Frame-constant raw corner pack for the table-hoisted fused path.
+
+    The packed-corner tables of ``_msda_fused_fwd_impl`` are rebuilt per
+    attention call even though (for spatial cross-attention) the underlying
+    camera features are identical across all encoder layers of a frame —
+    only the per-layer ``value_proj`` differs. Corner packing is a pure
+    data movement, so it commutes with the (linear) projection: pack the
+    RAW features once per frame here, and fold each layer's projection into
+    the packed rows with ``tables_from_packed_raw``.
+
+    Args:
+      value: [B, V, C] pre-``value_proj`` features (levels concatenated).
+    Returns:
+      tuple over levels of [B, (h+1)*(w+1), 4*(C+1)] packed corners with a
+      trailing interior-indicator channel (1 where the corner hits a real
+      pixel, 0 on the zero ring) so the projection bias can be masked off
+      the ring downstream.
+    """
+    b, v_len, c = value.shape
+    ones = jnp.ones((b, v_len, 1), value.dtype)
+    aug = jnp.concatenate([value, ones], axis=-1)[:, :, None, :]
+    out = []
+    for vl, (h, w) in zip(_split_levels(aug, spatial_shapes), spatial_shapes):
+        pk = _pack_corners(vl, h, w)  # [B, 1, rows, 4*(C+1)]
+        out.append(pk.reshape(b, (h + 1) * (w + 1), 4 * (c + 1)))
+    return tuple(out)
+
+
+def tables_from_packed_raw(packed_raw, kernel, bias, heads,
+                           round_dtype=None):
+    """Kernel-ready fused-msda tables from a frame-constant raw pack.
+
+    Folds a ``value_proj`` (kernel [C, heads*DIM], bias [heads*DIM]) into
+    the packed-raw corners (``pack_raw_levels``) as ONE matmul per level
+    with a block-diagonal weight: output lanes are already per-head
+    ``corner*DIM + d`` granules, so no small-granule lane shuffle remains
+    (the per-layer re-pack this replaces measured ~10x the bandwidth
+    floor). The interior-indicator channel carries the bias so zero-ring
+    corners stay exactly zero.
+
+    Returns (tables: tuple over levels of [B*heads, rows8, 128] f32,
+    table_rows: tuple of padded row counts) matching the
+    ``_prep_group_fwd`` contract.
+    """
+    cin = kernel.shape[0]
+    assert kernel.shape[1] == heads * DIM_TABLE and bias.shape == (
+        heads * DIM_TABLE,)
+    wk = kernel.reshape(cin, heads, DIM_TABLE)
+    wb = bias.reshape(heads, DIM_TABLE)
+    blocks = []
+    for corner in range(4):
+        blk = jnp.zeros((cin + 1, heads, 4, DIM_TABLE), kernel.dtype)
+        blk = blk.at[:cin, :, corner, :].set(wk)
+        blk = blk.at[cin, :, corner, :].set(wb)
+        blocks.append(blk)
+    w2 = jnp.concatenate(blocks, 0).reshape(4 * (cin + 1),
+                                            heads * 4 * DIM_TABLE)
+    # bf16 inputs are exact on the MXU at DEFAULT; f32 inputs need HIGHEST
+    # (DEFAULT truncates f32 operands to bf16).
+    prec = (None if packed_raw[0].dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    tables, table_rows = [], []
+    for pr in packed_raw:
+        b, rows, _ = pr.shape
+        out = jnp.dot(pr, w2.astype(pr.dtype), precision=prec,
+                      preferred_element_type=jnp.float32)
+        if round_dtype is not None and round_dtype != jnp.float32:
+            # match the reference path's Dense(dtype=bf16) output rounding
+            out = out.astype(round_dtype)
+        out = out.astype(jnp.float32)
+        out = out.reshape(b, rows, heads, 4 * DIM_TABLE)
+        out = out.transpose(0, 2, 1, 3).reshape(b * heads, rows,
+                                                4 * DIM_TABLE)
+        rpad = (-rows) % 8
+        if rpad:
+            out = jnp.pad(out, ((0, 0), (0, rpad), (0, 0)))
+        tables.append(out)
+        table_rows.append(out.shape[1])
+    return tuple(tables), tuple(table_rows)
+
+
+def fused_tables_feasible(spatial_shapes, head_dim) -> bool:
+    """True when the table-hoisted fused path can take these shapes:
+    head dim 32 and an f32 plan with only whole-level entries."""
+    if head_dim != DIM_TABLE:
+        return False
+    groups = _fused_plan(spatial_shapes, packed16=False)
+    return groups is not None and all(
+        e[1] == 0 and e[2] == spatial_shapes[e[0]][1]
+        for g in groups for e in g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _msda_tables(spatial_shapes, table_rows, tables, loc, weights):
+    """Fused deformable attention over PREBUILT kernel-ready tables.
+
+    Differentiable: backward runs the same two Pallas passes as
+    ``_msda_fused_bwd`` but returns the table gradient directly (the
+    caller's table-build matmul and raw pack are plain XLA ops that
+    autodiff handles)."""
+    return _msda_tables_fwd_impl(spatial_shapes, table_rows, tables, loc,
+                                 weights)
+
+
+def _msda_tables_fwd_impl(spatial_shapes, table_rows, tables, loc, weights,
+                          q_block=256):
+    from vidar_tpu.ops.msda_pallas import msda_gather_fused
+    b, q, heads = loc.shape[:3]
+    groups = _fused_plan(spatial_shapes, packed16=False)
+    interpret = jax.default_backend() == 'cpu'
+    out = None
+    for entries in groups:
+        atlas, row_idx, cw4, _, _, _ = _prep_group_fwd(
+            tables, table_rows, spatial_shapes, loc, weights, entries,
+            q_block)
+        part = msda_gather_fused(atlas, row_idx, cw4, q_block=q_block,
+                                 interpret=interpret)
+        out = part if out is None else out + part
+    dim = out.shape[-1]
+    out = out[:, :q].reshape(b, heads, q, dim).transpose(0, 2, 1, 3)
+    return out.reshape(b, q, heads * dim)
+
+
+def _msda_tables_fwd(spatial_shapes, table_rows, tables, loc, weights):
+    return _msda_tables(spatial_shapes, table_rows, tables, loc, weights), (
+        tables, loc, weights)
+
+
+def _msda_tables_bwd(spatial_shapes, table_rows, res, g):
+    from vidar_tpu.ops.msda_pallas import msda_gather_fused_bwd
+    tables, loc, weights = res
+    b, q, heads, num_levels, p, _ = loc.shape
+    dim = tables[0].shape[-1] // 4
+    q_block = 256
+    qp = q + ((-q) % q_block)
+    groups = _fused_plan(spatial_shapes, packed16=False)
+    interpret = jax.default_backend() == 'cpu'
+
+    dout = g.reshape(b, q, heads, dim).transpose(0, 2, 1, 3).reshape(
+        b * heads, q, dim).astype(jnp.float32)
+    if qp != q:
+        dout = jnp.pad(dout, ((0, 0), (0, qp - q), (0, 0)))
+
+    dtab = [jnp.zeros(t.shape, jnp.float32) for t in tables]
+    zeros_q = jnp.zeros((b, q, heads, p), jnp.float32)
+    dwx_l = [zeros_q] * num_levels
+    dwy_l = [zeros_q] * num_levels
+    daw_l = [zeros_q] * num_levels
+
+    for entries in groups:
+        atlas, row_idx, cw4, wx1, wy1, aw = _prep_group_fwd(
+            tables, table_rows, spatial_shapes, loc, weights, entries,
+            q_block)
+        datlas, dwx, dwy, daw = msda_gather_fused_bwd(
+            atlas, row_idx, cw4, wx1, wy1, aw, dout,
+            q_block=q_block, interpret=interpret)
+
+        ecount = len(entries)
+
+        def to_bqhep(x, ecount=ecount):
+            return x[:, :q].reshape(b, heads, q, ecount, p).transpose(
+                0, 2, 1, 3, 4)
+
+        dwx = to_bqhep(dwx)
+        dwy = to_bqhep(dwy)
+        daw = to_bqhep(daw)
+
+        start = 0
+        for i, (lvl, a, bcol) in enumerate(entries):
+            rows_l = table_rows[lvl]
+            dtab[lvl] = dtab[lvl] + datlas[:, start:start + rows_l]
+            start += rows_l
+            # whole-level entries: no column-chunk masking needed
+            dwx_l[lvl] = dwx_l[lvl] + dwx[:, :, :, i]
+            dwy_l[lvl] = dwy_l[lvl] + dwy[:, :, :, i]
+            daw_l[lvl] = daw_l[lvl] + daw[:, :, :, i]
+
+    dloc_parts, dw_parts = [], []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        dloc_parts.append(jnp.stack(
+            [dwx_l[lvl] * w, dwy_l[lvl] * h], axis=-1))
+        x = loc[..., lvl, :, 0].astype(jnp.float32) * w - 0.5
+        y = loc[..., lvl, :, 1].astype(jnp.float32) * h - 0.5
+        ix0 = jnp.floor(x).astype(jnp.int32)
+        iy0 = jnp.floor(y).astype(jnp.int32)
+        valid = ((iy0 >= -1) & (iy0 <= h - 1) &
+                 (ix0 >= -1) & (ix0 <= w - 1))
+        dw_parts.append(daw_l[lvl] * valid.astype(jnp.float32))
+
+    dloc = jnp.stack(dloc_parts, axis=3).astype(loc.dtype)
+    dweights = jnp.stack(dw_parts, axis=3).astype(weights.dtype)
+    return tuple(dtab), dloc, dweights
+
+
+_msda_tables.defvjp(_msda_tables_fwd, _msda_tables_bwd)
+
+
+def msdeform_attn_tables(tables, table_rows, spatial_shapes,
+                         sampling_locations, attention_weights):
+    """Multi-scale deformable attention over prebuilt kernel-ready tables
+    (``tables_from_packed_raw``). Same semantics as ``msdeform_attn`` with
+    the value/pack work hoisted out; feasibility must be pre-checked with
+    ``fused_tables_feasible``."""
+    return _msda_tables(tuple(spatial_shapes), tuple(table_rows), tuple(
+        tables), sampling_locations, attention_weights)
 
 
 def _packed_cache(value_levels, spatial_shapes, needed_lvls,
@@ -520,7 +737,7 @@ def _msda_fused_fwd_impl(value_levels, spatial_shapes, loc, weights,
             tables[lvl] = pk
         kern = msda_gather_fused16 if packed16 else msda_gather_fused
         for entries in groups:
-            atlas, row_idx, cw4 = _prep_group_fwd(
+            atlas, row_idx, cw4, _, _, _ = _prep_group_fwd(
                 tables, table_rows, spatial_shapes, loc, weights, entries,
                 q_block)
             part = kern(atlas, row_idx, cw4, q_block=q_block,
