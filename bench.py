@@ -5,10 +5,15 @@ equivalent: 5-frame history encode + 6-frame autoregressive future decode +
 depth decode) at the flagship configuration, synthetic inputs.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` compares against an estimated A100 reference throughput for
-the same workload (see BASELINE.md: the reference publishes no FPS; 0.5
-forecast-frames/sec is our measured-order estimate for the torch model's
-forward_test on A100 — to be refined with a real measurement).
+``vs_baseline`` compares against the A100 reference throughput for the same
+workload. The reference publishes NO latency/throughput numbers anywhere
+(SURVEY §6), so the constant below is grounded by an analytic roofline of
+the reference's forward_test on A100-SXM4-80G — FLOPs/bytes inventory per
+phase with measured-typical kernel efficiencies (benchmarks/a100_roofline.py;
+derivation + assumptions in BASELINE.md): 0.37 samples/s with fp32 convs
+(the training configuration: the reference force-disables TF32,
+tools/train.py:141-144) to 0.75 samples/s granting cuDNN TF32 tensor-core
+convs. 0.5 is the central estimate of that range.
 """
 
 import json
@@ -16,7 +21,7 @@ import time
 
 import numpy as np
 
-A100_FORECAST_FPS_ESTIMATE = 0.5
+A100_FORECAST_FPS_ESTIMATE = 0.5  # see module docstring + BASELINE.md
 
 # Reduced-cost flags for CI smoke (full run on TPU by default).
 import os

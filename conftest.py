@@ -9,8 +9,14 @@ import os
 os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
-    os.environ['XLA_FLAGS'] = (
-        flags + ' --xla_force_host_platform_device_count=8').strip()
+    flags = (flags + ' --xla_force_host_platform_device_count=8').strip()
+# XLA:CPU spends most of a model-sized compile in LLVM optimization passes a
+# single-shot test never amortizes (measured: the full dryrun step 1555 s ->
+# 92 s). Tests are compile-dominated on the 1-core CI box; e2e subprocesses
+# inherit this via the environment.
+if '--xla_backend_optimization_level' not in flags:
+    flags = (flags + ' --xla_backend_optimization_level=0').strip()
+os.environ['XLA_FLAGS'] = flags
 
 # Persistent compilation cache: model-level tests compile sizeable graphs and
 # the CI box is a single core — cache across runs.

@@ -43,12 +43,14 @@ def test_map_elements_and_boxes(tmp_path):
     assert len(els['boundary']) == 1
 
     g2l = np.eye(4)  # ego at origin
-    boxes, labels, polylines = sample_map_boxes(
+    boxes, labels, polylines, closed = sample_map_boxes(
         els, g2l, (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0))
-    assert len(polylines) == len(boxes)
+    assert len(polylines) == len(boxes) == len(closed)
     assert all(p.shape[1] == 2 and len(p) <= 64 for p in polylines)
     assert set(labels.tolist()) == {0, 1, 2}
     assert ((boxes >= 0) & (boxes <= 1)).all()
+    # rings are flagged closed, the divider open
+    np.testing.assert_array_equal(closed, labels != 0)
     # the crossing is a 3x3 box around (6.5, 6.5)
     pc = boxes[labels == 1][0]
     np.testing.assert_allclose(pc[2:], [3 / 102.4, 3 / 102.4], atol=1e-5)

@@ -29,6 +29,10 @@ import jax.numpy as jnp
 # ----------------------------------------------------------------- orbax
 
 def save_checkpoint(path: str, state, *, keep: int = 1) -> None:
+    """Save a (train) state. In multihost runs this is a COLLECTIVE: every
+    process must call it with the same (shared-filesystem) path — orbax
+    coordinates internally and the primary process writes replicated
+    arrays (the reference's rank-0 mmcv CheckpointHook equivalent)."""
     import orbax.checkpoint as ocp
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()

@@ -281,18 +281,21 @@ class UniADDataset(NuScenesDetDataset):
                 n_map = min(len(mb), gm)
                 map_boxes[:n_map] = mb[:n_map]
                 map_labels[:n_map] = ml[:n_map]
+                from .rasterize import fill_polygon, draw_polyline
+                closed = np.asarray(
+                    ann.get('closed', np.zeros(len(mb), bool)))
                 for k, pts in enumerate(ann.get('polylines', [])[:n_map]):
-                    # thin-element rasterization: mark cells under the
-                    # densified points, 3x3 dilated
-                    cx = np.clip((pts[:, 0] * bw).astype(int), 0, bw - 1)
-                    cy = np.clip((pts[:, 1] * bh).astype(int), 0, bh - 1)
-                    m = np.zeros((bh, bw), np.float32)
-                    m[cy, cx] = 1.0
-                    for dy in (-1, 0, 1):
-                        for dx in (-1, 0, 1):
-                            m[np.clip(cy + dy, 0, bh - 1),
-                              np.clip(cx + dx, 0, bw - 1)] = 1.0
-                    map_masks[k] = m
+                    if k < len(closed) and closed[k] and ml[k] == 1:
+                        # ped crossings: filled polygon (reference map gt
+                        # fills crossing/drivable polygons; thin strokes
+                        # skew IoU — UniAD nuscenes_e2e_dataset.py)
+                        map_masks[k] = fill_polygon(pts, bh, bw)
+                    else:
+                        # dividers/boundaries: stroked lines (closed rings
+                        # get their closing segment drawn)
+                        map_masks[k] = draw_polyline(
+                            pts, bh, bw,
+                            closed=bool(k < len(closed) and closed[k]))
 
         tb, tl, tid, tnum, l2g_r, l2g_t, ts = self._clip_track_gt(
             idx0, g_cap)

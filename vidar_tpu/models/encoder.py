@@ -102,6 +102,36 @@ def point_sampling(ref_3d: jnp.ndarray, pc_range: Sequence[float],
     return ref_cam, bev_mask
 
 
+def sca_overflow_count(lidar2img, img_hw, bev_h: int, bev_w: int,
+                       pc_range, capacity_ratio: float,
+                       num_points_in_pillar: int = 4):
+    """Worst-case dropped-visible-query count for the SCA static capacity.
+
+    The fixed-capacity compaction (``attention.sca_compaction``) silently
+    drops visible queries ranked past ``cap`` — a parity loss the reference
+    can never hit (its dynamic rebatching keeps every visible query,
+    spatial_cross_attention.py:135-166). This recomputes per-camera
+    visibility from the batch calibration (pure geometry, ~1 M FLOPs) and
+    returns max(visible - cap, 0) over every (frame, camera) — wired into
+    the standard train metrics so overflow is visible in every log line.
+
+    Args:
+      lidar2img: [..., cams, 4, 4] (any leading batch/frame dims).
+      img_hw: padded image (H, W).
+    Returns: scalar int32 — 0 iff no visible query was dropped anywhere.
+    """
+    n = bev_h * bev_w
+    if not (0 < capacity_ratio < 1):
+        return jnp.zeros((), jnp.int32)
+    cap = int(n * capacity_ratio)
+    ref_3d = jnp.asarray(reference_points_3d(
+        bev_h, bev_w, pc_range[5] - pc_range[2], num_points_in_pillar))
+    l2i = lidar2img.reshape((-1,) + lidar2img.shape[-3:])
+    _, bev_mask = point_sampling(ref_3d, pc_range, l2i, img_hw)
+    vis = jnp.any(bev_mask, axis=-1).sum(axis=2)  # [cams, bs*frames]
+    return jnp.maximum(vis.max() - cap, 0).astype(jnp.int32)
+
+
 class BEVFormerLayer(nn.Module):
     """One encoder layer: TSA -> LN -> SCA -> LN -> [latent render] -> FFN -> LN."""
     embed_dims: int = 256

@@ -26,6 +26,15 @@ def make_mesh(num_devices: Optional[int] = None,
     return Mesh(np.asarray(devices).reshape(shape), axis_names)
 
 
+def make_local_mesh(axis_names: Sequence[str] = ('data',)) -> Mesh:
+    """Mesh over THIS process's addressable devices only — for per-host
+    computations (e.g. rank-0 eval during multi-host training) that must not
+    involve cross-process collectives."""
+    devices = jax.local_devices()
+    shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    return Mesh(np.asarray(devices).reshape(shape), axis_names)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis across the data axis."""
     return NamedSharding(mesh, P('data'))

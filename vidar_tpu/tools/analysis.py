@@ -126,9 +126,77 @@ def profile_trace(config: str, out_dir: str = '/tmp/jax_trace',
     print(f'trace written to {out_dir}')
 
 
+def visibility_scan(config: str, max_samples: int = None, cfg_options=None):
+    """Per-camera visible-query statistics from REAL dataset calibration.
+
+    Grounds ``model.sca_capacity_ratio``: the SCA compaction keeps a static
+    ``cap = ratio * bev_h * bev_w`` queries per camera; any sample whose
+    per-camera visibility exceeds the cap silently loses parity (reference
+    spatial_cross_attention.py:135-166 never drops a visible query). This
+    scans every (sample, frame, camera) of the configured dataset's infos,
+    reports the visibility distribution, and prints the minimum safe
+    capacity_ratio (peak + suggested 5% margin).
+
+    Host numpy end to end — no jit, runs on any box.
+    """
+    import numpy as np
+    from ..core.config import load_config, apply_overrides
+    from ..core.builder import build_dataset
+    from ..models.encoder import reference_points_3d
+
+    cfg = apply_overrides(load_config(config), cfg_options)
+    m = cfg['model']
+    bev_h, bev_w = m.get('bev_h', 200), m.get('bev_w', 200)
+    pc = m.get('pc_range', (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0))
+    n = bev_h * bev_w
+    ref = reference_points_3d(bev_h, bev_w, pc[5] - pc[2], 4)  # [D, N, 3]
+    xyz = np.stack([ref[..., 0] * (pc[3] - pc[0]) + pc[0],
+                    ref[..., 1] * (pc[4] - pc[1]) + pc[1],
+                    ref[..., 2] * (pc[5] - pc[2]) + pc[2]], -1)
+    homo = np.concatenate([xyz, np.ones_like(xyz[..., :1])], -1)  # [D,N,4]
+
+    dataset = build_dataset(cfg['data']['train'])
+    n_samples = min(len(dataset), max_samples or len(dataset))
+    peak, fracs = 0, []
+    for i in range(n_samples):
+        sample = dataset[i]
+        batch = sample.frames if hasattr(sample, 'frames') else sample
+        l2i = np.asarray(batch.lidar2img, np.float32)
+        img_h, img_w = batch.images.shape[3:5]
+        l2i = l2i.reshape(-1, 4, 4)
+        proj = np.einsum('cij,dnj->cdni', l2i, homo)
+        z = proj[..., 2]
+        with np.errstate(invalid='ignore', divide='ignore'):
+            x = proj[..., 0] / np.maximum(z, 1e-5) / img_w
+            y = proj[..., 1] / np.maximum(z, 1e-5) / img_h
+        vis = ((z > 1e-5) & (x > 0) & (x < 1) & (y > 0) & (y < 1))
+        count = vis.any(axis=1).sum(axis=-1)  # [frames*cams]
+        peak = max(peak, int(count.max()))
+        fracs.append(count / n)
+        if (i + 1) % 50 == 0:
+            print(f'[{i + 1}/{n_samples}] running peak '
+                  f'{peak / n:.4f}')
+    fracs = np.concatenate(fracs)
+    report = {
+        'samples_scanned': n_samples,
+        'per_camera_frames': int(fracs.size),
+        'visible_frac_mean': round(float(fracs.mean()), 4),
+        'visible_frac_p99': round(float(np.percentile(fracs, 99)), 4),
+        'visible_frac_peak': round(peak / n, 4),
+        'min_safe_capacity_ratio': round(peak / n, 4),
+        'suggested_capacity_ratio': round(min(1.0, peak / n * 1.05), 4),
+    }
+    print(json.dumps(report, indent=2))
+    return report
+
+
 def main():
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest='cmd', required=True)
+    v = sub.add_parser('visibility')
+    v.add_argument('config')
+    v.add_argument('--max-samples', type=int, default=None)
+    v.add_argument('--cfg-options', nargs='+', default=None)
     for name in ('benchmark', 'get-params', 'profile'):
         s = sub.add_parser(name)
         s.add_argument('config')
@@ -151,6 +219,9 @@ def main():
                       cfg_options=args.cfg_options)
     elif args.cmd == 'analyze-logs':
         analyze_logs(args.log_file, args.keys)
+    elif args.cmd == 'visibility':
+        visibility_scan(args.config, max_samples=args.max_samples,
+                        cfg_options=args.cfg_options)
 
 
 if __name__ == '__main__':

@@ -7,8 +7,12 @@ tool parses ``maps/expansion/<location>.json`` directly and emits a
 
     {sample_token: {'boxes': [N, 4] cxcywh in [0, 1] (pc_range frame),
                     'labels': [N] int32,
-                    'polylines': list of [P, 2] float32 in [0, 1]
-                        (decimated element points, for mask rasterization)}}
+                    'polylines': list of [P, 2] float32 (normalised to the
+                        pc_range box; closed elements keep the full ring and
+                        may exceed [0, 1] — the fill clips),
+                    'closed': [N] bool — ring elements (crossings/boundaries)
+                        vs open dividers; drives filled-polygon vs stroke
+                        rasterization in data.uniad_data}}
 
 Classes (the reference's three "thing" classes for PansegformerHead):
     0 divider       road_divider + lane_divider lines
@@ -94,10 +98,11 @@ def sample_map_boxes(elements: Dict[str, List[np.ndarray]],
                 segs.append(a[None] * (1 - t) + b[None] * t)
         return np.concatenate(segs, 0)
 
-    boxes, labels, polylines = [], [], []
+    boxes, labels, polylines, closed_flags = [], [], [], []
     for ci, cname in enumerate(CLASSES):
+        is_ring = cname != 'divider'
         for raw in elements[cname]:
-            pts = densify(raw, closed=(cname != 'divider'))
+            pts = densify(raw, closed=is_ring)
             p = np.concatenate([pts, np.zeros((len(pts), 1)),
                                 np.ones((len(pts), 1))], axis=1) @ g2l.T
             inside = ((p[:, 0] >= pc_range[0]) & (p[:, 0] <= pc_range[3]) &
@@ -114,14 +119,28 @@ def sample_map_boxes(elements: Dict[str, List[np.ndarray]],
             boxes.append([cx, cy, max((xmax - xmin) / sx, 1e-3),
                           max((ymax - ymin) / sy, 1e-3)])
             labels.append(ci)
-            qn = np.stack([(q[:, 0] - x0) / sx, (q[:, 1] - y0) / sy], -1)
+            if is_ring:
+                # closed elements keep the FULL ring (raw vertices, not the
+                # clipped/densified trace) so the downstream filled-polygon
+                # rasterization sees an intact boundary — values outside
+                # [0, 1] are fine, the scanline fill clips naturally
+                # (reference rasterizes crossings as filled polygons,
+                # UniAD nuscenes_e2e_dataset.py map gt pipeline).
+                r = np.concatenate([raw, np.zeros((len(raw), 1)),
+                                    np.ones((len(raw), 1))], axis=1) @ g2l.T
+                qn = np.stack([(r[:, 0] - x0) / sx, (r[:, 1] - y0) / sy], -1)
+            else:
+                qn = np.stack([(q[:, 0] - x0) / sx, (q[:, 1] - y0) / sy], -1)
             if len(qn) > 64:
                 qn = qn[np.linspace(0, len(qn) - 1, 64).astype(int)]
             polylines.append(qn.astype(np.float32))
+            closed_flags.append(is_ring)
     if not boxes:
-        return (np.zeros((0, 4), np.float32), np.zeros((0,), np.int32), [])
+        return (np.zeros((0, 4), np.float32), np.zeros((0,), np.int32), [],
+                np.zeros((0,), bool))
     return (np.asarray(boxes, np.float32),
-            np.asarray(labels, np.int32), polylines)
+            np.asarray(labels, np.int32), polylines,
+            np.asarray(closed_flags, bool))
 
 
 def create_map_anns(data_root: str, version: str, infos_pkl: str,
@@ -144,10 +163,10 @@ def create_map_anns(data_root: str, version: str, infos_pkl: str,
                                 info['lidar2ego_rotation'], inverse=True) @
                transform_matrix(info['ego2global_translation'],
                                 info['ego2global_rotation'], inverse=True))
-        boxes, labels, polylines = sample_map_boxes(maps[loc], g2l,
-                                                    pc_range)
+        boxes, labels, polylines, closed = sample_map_boxes(maps[loc], g2l,
+                                                            pc_range)
         anns[info['token']] = dict(boxes=boxes, labels=labels,
-                                   polylines=polylines)
+                                   polylines=polylines, closed=closed)
     with open(out_pkl, 'wb') as f:
         pickle.dump(anns, f)
     return len(anns)

@@ -31,6 +31,8 @@ def parse_args():
                    help='video streaming eval: single-frame forward with a '
                         'cached prev BEV + ego-motion rebasing (reference '
                         'video_test_mode, bevformer.py:291-324)')
+    from ..parallel.multihost import add_distributed_args
+    add_distributed_args(p)
     return p.parse_args()
 
 
@@ -357,6 +359,9 @@ def run_val_evaluation(cfg, model, params, max_samples=None):
 def main():
     args = parse_args()
     import jax
+    from ..parallel.multihost import maybe_initialize_distributed
+    maybe_initialize_distributed(args.coordinator, args.num_processes,
+                                 args.process_id)
     from ..core import enable_compilation_cache
     enable_compilation_cache()
     from ..core.config import load_config, apply_overrides
@@ -400,16 +405,25 @@ def main():
 
     # Sharded eval (reference apis/test.py:45-161 multi-GPU test + gather):
     # every local device evaluates one sample per step — samples are
-    # collated into a bs=n_dev global batch sharded over the 1-D data mesh,
-    # host metrics trim any wrap-around tail padding.
+    # collated into a bs=n_dev batch sharded over a per-HOST data mesh.
+    # Multi-host runs split the sample range contiguously across processes
+    # (the reference's DistributedSampler contiguous-block contract,
+    # samplers/distributed_sampler.py:22-41 — keeps each rank's stream
+    # temporally continuous) and gather per-frame metric dicts at the end.
     import jax
-    from ..parallel import make_mesh, shard_batch, replicated_sharding
+    from ..parallel import shard_batch, replicated_sharding
+    from ..parallel.mesh import make_local_mesh
+    from ..data.samplers import contiguous_shard
     from ..data.structures import collate_samples
     from ..data.prefetch import PrefetchLoader
     n_dev = jax.local_device_count()
-    mesh = make_mesh()
+    mesh = make_local_mesh()
     eval_fn.params = jax.device_put(params, replicated_sharding(mesh))
-    chunks = [(c0, min(n_dev, n - c0)) for c0 in range(0, n, n_dev)]
+    my_samples = contiguous_shard(n, jax.process_index(), jax.process_count())
+    lo = my_samples[0] if my_samples else 0
+    n_local = len(my_samples)
+    chunks = [(lo + c0, min(n_dev, n_local - c0))
+              for c0 in range(0, n_local, n_dev)]
     flat_idx = []
     for c0, real in chunks:
         flat_idx.extend(range(c0, c0 + real))
@@ -435,6 +449,14 @@ def main():
         if done % 10 < real or done == n:
             print(f'[{done}/{n}]')
 
+    if jax.process_count() > 1:
+        # rank-0 concat of every process's per-frame metric dicts
+        # (reference apis/test.py:117-161 pickle/tmpdir gather)
+        from ..parallel import process_gather_objects
+        gathered = process_gather_objects(results)
+        results = [m for part in gathered for m in part]
+        if jax.process_index() != 0:
+            return
     agg = aggregate_frame_metrics(results)
     for fk, fv in agg.items():
         print(f'==== {fk} results: ====')

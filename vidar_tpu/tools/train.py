@@ -33,17 +33,23 @@ def parse_args():
     p.add_argument('--cfg-options', nargs='+', default=None)
     p.add_argument('--max-steps', type=int, default=None,
                    help='override total steps (debug)')
+    from ..parallel.multihost import add_distributed_args
+    add_distributed_args(p)
     return p.parse_args()
 
 
 def main():
     args = parse_args()
     import jax
+    from ..parallel.multihost import maybe_initialize_distributed
+    maybe_initialize_distributed(args.coordinator, args.num_processes,
+                                 args.process_id)
     from ..core import enable_compilation_cache
     enable_compilation_cache()
     from ..core.config import load_config, apply_overrides, dump_config
     from ..core.builder import build_model, build_dataset
-    from ..parallel import make_mesh, shard_batch, replicated_sharding
+    from ..parallel import (make_mesh, replicated_sharding,
+                            global_batch_from_local, put_replicated)
     from ..train import (create_train_state, make_optimizer, make_train_step,
                          make_det_train_step)
     from ..core.checkpoint import (save_checkpoint, load_checkpoint,
@@ -71,6 +77,11 @@ def main():
     num_data_shards = mesh.shape['data']
     samples_per_device = int(cfg.get('data', {}).get('samples_per_gpu', 1))
     global_batch = samples_per_device * num_data_shards
+    # each process loads + collates only its local slice of the global batch
+    # (the sampler below is rank-sharded); global arrays are assembled by
+    # global_batch_from_local
+    local_batch = global_batch // jax.process_count()
+    is_main = jax.process_index() == 0
 
     # training sampler: per-epoch shuffled (reference
     # DistributedGroupSampler, samplers/group_sampler.py:15; our multi-host
@@ -85,8 +96,8 @@ def main():
                                   seed=args.seed)
 
     total_epochs = cfg.get('total_epochs', 24)
-    epoch_len = len(sampler.epoch_indices(0))
-    steps_per_epoch = max(1, epoch_len // global_batch)
+    epoch_len = len(sampler.epoch_indices(0))  # per-rank length
+    steps_per_epoch = max(1, epoch_len // local_batch)
     total_steps = args.max_steps or total_epochs * steps_per_epoch
 
     num_workers = int(cfg.get('data', {}).get('workers_per_gpu', 4))
@@ -98,22 +109,22 @@ def main():
 
     def epoch_batches(epoch: int, skip_steps: int = 0):
         idx = sampler.epoch_indices(epoch)
-        # pad to a whole number of global batches (wrap-around, matching
+        # pad to a whole number of local batches (wrap-around, matching
         # the reference sampler's padding-to-equal-length contract)
-        n_steps = max(1, len(idx) // global_batch)
-        need = n_steps * global_batch
+        n_steps = max(1, len(idx) // local_batch)
+        need = n_steps * local_batch
         if len(idx) < need:
             idx = (idx * ((need + len(idx) - 1) // len(idx)))[:need]
         idx = idx[:need]
-        idx = idx[skip_steps * global_batch:]
+        idx = idx[skip_steps * local_batch:]
         loader = PrefetchLoader(dataset.__getitem__, idx,
                                 num_threads=num_workers,
-                                depth=max(2 * global_batch, 4))
+                                depth=max(2 * local_batch, 4))
         it = iter(loader)
         while True:
             items = []
             try:
-                for _ in range(global_batch):
+                for _ in range(local_batch):
                     items.append(next(it))
             except StopIteration:
                 return
@@ -159,7 +170,7 @@ def main():
         grad_clip_norm=cfg.get('grad_clip_norm', 35.0),
         total_steps=total_steps)
     state = create_train_state(params, tx)
-    state = jax.device_put(state, replicated_sharding(mesh))
+    state = put_replicated(state, mesh)
     if model_type in ('BEVFormer',):
         step_fn = make_det_train_step(model, mesh=mesh)
     elif model_type in ('UniAD',):
@@ -216,8 +227,7 @@ def main():
     ema_update = None
     if ema_cfg:
         from ..train.ema import init_ema, update_ema
-        ema_state = jax.device_put(init_ema(state.params),
-                                   replicated_sharding(mesh))
+        ema_state = put_replicated(init_ema(state.params), mesh)
         ema_update = jax.jit(
             lambda es, p: update_ema(
                 es, p, momentum=ema_cfg.get('momentum', 0.0002),
@@ -238,7 +248,7 @@ def main():
         for batch in epoch_batches(epoch, skip_steps=skip):
             if it >= total_steps:
                 break
-            batch = shard_batch(batch, mesh)
+            batch = global_batch_from_local(batch, mesh)
             state, metrics = step_fn(state, batch, jax.random.PRNGKey(
                 rng.integers(2 ** 31)))
             if ema_update is not None:
@@ -249,11 +259,29 @@ def main():
                 m['lr'] = float(sched(it - 1))
                 m['it/s'] = log_interval / (time.time() - t0)
                 t0 = time.time()
-                print(f'[{it}/{total_steps}] ' + json.dumps(m))
+                if is_main:
+                    print(f'[{it}/{total_steps}] ' + json.dumps(m))
+                if m.get('sca_overflow', 0) > 0:
+                    # visible queries were dropped by the SCA static
+                    # capacity — a silent parity loss vs the reference's
+                    # dynamic rebatching. Raise (or warn loudly) per cfg.
+                    msg = (f'SCA capacity overflow: {int(m["sca_overflow"])}'
+                           f' visible queries dropped (step {it}). Raise '
+                           f'model.sca_capacity_ratio — scan the dataset '
+                           f'with: python -m vidar_tpu.tools.analysis '
+                           f'visibility <config>')
+                    if cfg.get('sca_overflow_action', 'warn') == 'raise':
+                        raise RuntimeError(msg)
+                    import sys
+                    print(f'WARNING: {msg}', file=sys.stderr)
             if it % ckpt_interval == 0:
+                # called from every process (multihost contract of
+                # save_checkpoint: replicated leaves pulled to host, rank-0
+                # writes)
                 save_checkpoint(os.path.join(work_dir, f'step_{it}'), state)
         skip = 0
-        maybe_evaluate(epoch + 1, state)
+        if is_main:
+            maybe_evaluate(epoch + 1, state)
         if it >= total_steps:
             break
     save_checkpoint(os.path.join(work_dir, 'latest'), state)
