@@ -54,16 +54,18 @@ def main():
     def kshape(c, q, s, r, label):
         atlas = jax.random.normal(key, (c, r, 128), jnp.float32)
         idx = jax.random.randint(key, (c, q, s), 0, r, jnp.int32)
-        cw = jax.random.normal(key, (c, q, 4 * s), jnp.float32)
+        wx = jax.random.uniform(key, (c, q, s), jnp.float32)
+        wy = jax.random.uniform(key, (c, q, s), jnp.float32)
+        aw = jax.random.uniform(key, (c, q, s), jnp.float32)
         rows = c * q * s
         if r * 128 * 4 <= 16_000_000:   # f32 table must fit scoped VMEM
             f32 = jax.jit(partial(msda_gather_fused, q_block=256))
-            t, _ = bench(f32, atlas, idx, cw)
+            t, _ = bench(f32, atlas, idx, wx, wy, aw)
             print(f'{label} f32: {(t-ovh)*1e3:.1f} ms '
                   f'{rows/(t-ovh)/1e6:.0f} M rows/s', flush=True)
         a16 = pack_atlas16(atlas)
         f16 = jax.jit(partial(msda_gather_fused16, q_block=256))
-        t, _ = bench(f16, a16, idx, cw)
+        t, _ = bench(f16, a16, idx, wx, wy, aw)
         print(f'{label} u16: {(t-ovh)*1e3:.1f} ms '
               f'{rows/(t-ovh)/1e6:.0f} M rows/s', flush=True)
 

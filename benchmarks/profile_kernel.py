@@ -41,9 +41,11 @@ def main():
     def run(c, q, s, r, label, q_block=256):
         atlas = jax.random.normal(key, (c, r, 4 * DIM), jnp.float32)
         idx = jax.random.randint(key, (c, q, s), 0, r, jnp.int32)
-        cw = jax.random.normal(key, (c, q, 4 * s), jnp.float32)
+        wx = jax.random.uniform(key, (c, q, s), jnp.float32)
+        wy = jax.random.uniform(key, (c, q, s), jnp.float32)
+        aw = jax.random.uniform(key, (c, q, s), jnp.float32)
         f = jax.jit(partial(msda_gather_fused, q_block=q_block))
-        t = bench(f, atlas, idx, cw) - ovh
+        t = bench(f, atlas, idx, wx, wy, aw) - ovh
         rows = c * q * s
         print(f'{label}: {t * 1e3:.1f} ms, {rows / t / 1e6:.0f} M rows/s '
               f'(c={c} q={q} s={s} r={r}, table {r * 512 / 1e6:.1f} MB)')

@@ -57,7 +57,7 @@ def main():
         v, list(shapes), l, w, impl='fused'))
     bench('msda op (prep+kernel)', f, value, loc, weights)
 
-    # prep only: build atlas/row/cw4 for every group, return checksums
+    # prep only: build atlas/row/fraction arrays for every group
     def prep_only(value, loc, weights):
         vls = _split_levels(value, shapes)
         plan = _fused_plan(shapes, packed16=False)
@@ -65,9 +65,9 @@ def main():
                               dtype=jnp.float32)
         outs = []
         for entries in plan:
-            atlas, row_idx, cw4, _, _, _ = _prep_group(
+            atlas, row_idx, wx1, wy1, aw = _prep_group(
                 cache, shapes, loc, weights, entries, 256)
-            outs.append((atlas, row_idx, cw4))
+            outs.append((atlas, row_idx, wx1, wy1, aw))
         return outs
 
     bench('prep only (all groups)', jax.jit(prep_only), value, loc, weights)

@@ -1,0 +1,93 @@
+"""Flagship-scale ViDAR train step on the real TPU (VERDICT r2 #4).
+
+Reference trains this exact shape on A100-80G: 928x1600, 6 cams, queue 4
+(+1 current), 3 future frames (configs/vidar_pretrain/nusc_1_8_subset/
+vidar_1_8_nusc_3future.py:8-32, 379-399). Measures s/it, the
+backward/forward ratio (expected ~2.5-3x under per-layer remat), and peak
+HBM. bs=1 like the reference (one sample per GPU).
+"""
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import time
+import numpy as np
+import jax, jax.numpy as jnp
+jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_cc')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+import optax
+from vidar_tpu.models import ViDAR
+from vidar_tpu.configs import vidar_base
+from vidar_tpu.data import make_synthetic_batch
+from vidar_tpu.train.step import create_train_state, make_train_step
+
+
+def hbm_gb():
+    try:
+        st = jax.local_devices()[0].memory_stats()
+        return st.get('peak_bytes_in_use', 0) / 1e9
+    except Exception:
+        return float('nan')
+
+
+def main():
+    cfg = vidar_base()
+    cfg['remat'] = True
+    bs, q, f, cams, ih, iw, pts = 1, 4, 3, 6, 928, 1600, 32768
+    model = ViDAR(**cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    batch = make_synthetic_batch(rng, bs=bs, queue_length=q, future_length=f,
+                                 num_cams=cams, img_h=ih, img_w=iw,
+                                 max_points=pts)
+    key = jax.random.PRNGKey(0)
+    init_batch = make_synthetic_batch(rng, bs=bs, queue_length=q,
+                                      future_length=f, num_cams=cams,
+                                      img_h=96, img_w=160, max_points=256)
+    shapes = jax.eval_shape(
+        lambda: model.init({'params': key, 'dropout': key}, init_batch,
+                           train=True))
+    leaves, treedef = jax.tree.flatten(shapes)
+    keys = jax.random.split(key, len(leaves))
+    params = jax.tree.unflatten(
+        treedef, [jax.random.normal(k, s.shape, s.dtype) * 0.02
+                  for k, s in zip(keys, leaves)])
+    state = create_train_state(params, optax.adamw(1e-4))
+    step = make_train_step(model)
+
+    # forward-only (loss) for the backward/forward ratio
+    fwd = jax.jit(lambda p, b, k: model.apply(
+        p, b, train=True, rngs={'dropout': k, 'aug': k},
+        gumbel_rng=k)[0])
+
+    t0 = time.perf_counter()
+    loss = float(jax.tree.leaves(fwd(params, batch, key))[0])
+    print(f'fwd compile+run: {time.perf_counter()-t0:.1f}s loss0={loss:.4f}',
+          flush=True)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(jax.tree.leaves(fwd(params, batch, key))[0])
+        ts.append(time.perf_counter() - t0)
+    fwd_s = min(ts)
+    print(f'forward: {fwd_s:.2f}s  peak_hbm={hbm_gb():.1f} GB', flush=True)
+
+    t0 = time.perf_counter()
+    state, metrics = step(state, batch, key)
+    loss = float(metrics['loss'])
+    print(f'step compile+run: {time.perf_counter()-t0:.1f}s loss={loss:.4f}',
+          flush=True)
+    assert np.isfinite(loss)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, metrics = step(state, batch, key)
+        float(metrics['loss'])
+        ts.append(time.perf_counter() - t0)
+    step_s = min(ts)
+    print(f'train step: {step_s:.2f}s/it  bwd+opt/fwd='
+          f'{(step_s - fwd_s) / fwd_s:.2f}x  peak_hbm={hbm_gb():.1f} GB',
+          flush=True)
+    print('FLAGSHIP TRAIN OK', flush=True)
+
+
+if __name__ == '__main__':
+    main()

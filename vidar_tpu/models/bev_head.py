@@ -3,11 +3,11 @@
 the reference delegates the dense head to mmdet3d's FreeAnchor3DHead).
 
 TPU re-design: ``Anchor3DHead`` is a compact dense head over the BEV map —
-per-cell anchors (sizes x rotations), conv cls/reg/dir branches, focal
-classification with center-based assignment, smooth-L1 box regression and
-direction CE (the FreeAnchor bag-construction is replaced by nearest-anchor
-assignment; these components back no released checkpoint so the simpler
-assigner preserves capability without the bag machinery).
+per-cell anchors (sizes x rotations), conv cls/reg/dir branches, and the
+FreeAnchor bag loss (``assigner='free_anchor'``, default — matching the
+mmdet3d FreeAnchor3DHead the reference delegates to) with fixed-shape bags
+(static top-k, padded gts masked, scatter -> segment_max). A simpler
+center-nearest assigner (``assigner='nearest'``) is kept as an option.
 """
 
 from __future__ import annotations
@@ -23,7 +23,15 @@ from ..core import bbox as bbox_core
 
 
 class Anchor3DHead(nn.Module):
-    """Dense anchors on the BEV grid: cls + 7-dof reg (+vel) + dir."""
+    """Dense anchors on the BEV grid: cls + 7-dof reg (+vel) + dir.
+
+    ``assigner='free_anchor'`` (default) runs the FreeAnchor3DHead loss the
+    reference delegates to (mmdet3d free_anchor3d_head, via reference
+    dense_heads/bev_head.py:28): per-gt bags of the top-k anchors by BEV
+    overlap, mean-max positive bag likelihood and a focal negative term
+    weighted by 1 - P(anchor|object). ``assigner='nearest'`` keeps the
+    round-2 center-nearest assignment.
+    """
     num_classes: int = 10
     embed_dims: int = 256
     anchor_sizes: Tuple[Tuple[float, float, float], ...] = (
@@ -31,6 +39,11 @@ class Anchor3DHead(nn.Module):
     anchor_rotations: Tuple[float, ...] = (0.0, 1.5707963)
     anchor_z: float = -1.0
     pc_range: Sequence[float] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    assigner: str = 'free_anchor'
+    pre_anchor_topk: int = 25     # nuScenes FreeAnchor configs' value
+    bbox_thr: float = 0.6         # mmdet3d FreeAnchor3DHead default
+    fa_gamma: float = 2.0
+    fa_alpha: float = 0.5
     dtype: jnp.dtype | None = None
 
     @property
@@ -76,7 +89,126 @@ class Anchor3DHead(nn.Module):
 
     # ------------------------------------------------------------- training
 
+    def _encode(self, gt, a_sel):
+        """Delta targets vs anchors, broadcast-compatible: gt [.., 9]
+        (cx cy cz w l h yaw vx vy), a_sel [.., 7] (cx cy cz l w h yaw) ->
+        [.., 9] matching ``get_bboxes``' decode."""
+        diag = jnp.sqrt(a_sel[..., 3] ** 2 + a_sel[..., 4] ** 2)
+        t_xyz = (gt[..., :3] - a_sel[..., :3]) / jnp.maximum(
+            diag, 1e-3)[..., None]
+        # gt dims order (w l h) -> anchor (l w h)
+        t_dim = jnp.log(jnp.clip(
+            gt[..., jnp.array([4, 3, 5])] / a_sel[..., 3:6], 1e-3))
+        t_yaw = (gt[..., 6] - a_sel[..., 6])[..., None]
+        t_vel = jnp.broadcast_to(gt[..., 7:9], t_yaw.shape[:-1] + (2,))
+        return jnp.concatenate([t_xyz, t_dim, t_yaw, t_vel], -1)
+
     def loss(self, preds, gt_bboxes, gt_labels, num_valid_gt):
+        if self.assigner == 'free_anchor':
+            return self._loss_free_anchor(preds, gt_bboxes, gt_labels,
+                                          num_valid_gt)
+        return self._loss_nearest(preds, gt_bboxes, gt_labels, num_valid_gt)
+
+    def _loss_free_anchor(self, preds, gt_bboxes, gt_labels, num_valid_gt):
+        """FreeAnchor detection-customized likelihood (mmdet3d
+        free_anchor3d_head.py semantics, the head the reference's BEVHead
+        builds via ``pts_bbox_head_3d``; paper: Zhang et al., NeurIPS'19).
+
+        Per gt: a bag of the ``pre_anchor_topk`` anchors by (rotation-
+        agnostic, axis-aligned "nearest") BEV IoU; positive loss is the
+        mean-max bag likelihood of P(cls)*exp(-(loss_bbox+loss_dir));
+        negative loss is a focal term on P(cls)*(1 - P(anchor|object)) where
+        P(anchor|object) saturates the per-gt IoU of the DECODED boxes over
+        [bbox_thr, max-iou]. Fixed shapes: padded gts masked out, scatter
+        replaced by segment_max over class ids.
+        """
+        cls_logits, reg_preds, dir_logits, (h, w) = preds
+        anchors = self.anchors(h, w).reshape(-1, 7)   # [N, 7]
+        bs, n, k = cls_logits.shape
+        g = gt_bboxes.shape[1]
+        topk = min(self.pre_anchor_topk, n)
+
+        def aa_iou(b1, b2):
+            """Axis-aligned BEV IoU: [G, 4] x [N, 4] -> [G, N]."""
+            lt = jnp.maximum(b1[:, None, :2], b2[None, :, :2])
+            rb = jnp.minimum(b1[:, None, 2:], b2[None, :, 2:])
+            wh = jnp.clip(rb - lt, 0.0)
+            inter = wh[..., 0] * wh[..., 1]
+            a1 = ((b1[:, 2] - b1[:, 0]) * (b1[:, 3] - b1[:, 1]))[:, None]
+            a2 = ((b2[:, 2] - b2[:, 0]) * (b2[:, 3] - b2[:, 1]))[None, :]
+            return inter / jnp.maximum(a1 + a2 - inter, 1e-6)
+
+        def to_aa(xy, dx, dy):
+            return jnp.concatenate([xy - jnp.stack([dx, dy], -1) / 2,
+                                    xy + jnp.stack([dx, dy], -1) / 2], -1)
+
+        a_diag = jnp.sqrt(anchors[:, 3] ** 2 + anchors[:, 4] ** 2)
+        anchor_aa = to_aa(anchors[:, :2], anchors[:, 3], anchors[:, 4])
+
+        def one(cls_l, reg_p, dir_l, gt, labels, nv):
+            valid = jnp.arange(g) < nv
+            cls_prob = jax.nn.sigmoid(cls_l)                       # [N, K]
+            gt_aa = to_aa(gt[:, :2], gt[:, 4], gt[:, 3])           # l->x w->y
+
+            # ---- P(anchor | object): decoded-box IoU saturated per gt ----
+            pred_xy = anchors[:, :2] + reg_p[:, :2] * a_diag[:, None]
+            pred_lw = anchors[:, 3:5] * jnp.exp(reg_p[:, 3:5])
+            pred_aa = to_aa(pred_xy, pred_lw[:, 0], pred_lw[:, 1])
+            iou = aa_iou(gt_aa, pred_aa)                           # [G, N]
+            t1 = self.bbox_thr
+            t2 = jnp.clip(iou.max(axis=1), t1 + 1e-6)[:, None]
+            # mmdet3d uses eps=1e-12; in f32 that underflows the t2-t1 gap
+            # at t1~0.6 (denominator becomes 0 -> inf*0 NaNs in the vjp)
+            obj_box_prob = jnp.clip(
+                (iou - t1) / jnp.maximum(t2 - t1, 1e-6), 0.0, 1.0)
+            obj_box_prob = obj_box_prob * valid[:, None]
+            # per-(anchor, class) image-level box prob: max over this
+            # class's gts (sparse-scatter in torch -> segment_max here)
+            seg = jnp.where(valid, labels, k)
+            box_prob = jax.ops.segment_max(obj_box_prob, seg,
+                                           num_segments=k + 1)[:k]  # [K, N]
+            box_prob = jnp.clip(box_prob, 0.0, 1.0).T              # [N, K]
+
+            # ---- positive bags: topk anchors per gt by anchor IoU ----
+            qual = aa_iou(gt_aa, anchor_aa)                        # [G, N]
+            _, matched = jax.lax.top_k(qual, topk)                 # [G, topk]
+            m_cls = jnp.take_along_axis(
+                cls_prob[matched],                                 # [G,tk,K]
+                jnp.clip(labels, 0, k - 1)[:, None, None], axis=-1)[..., 0]
+            m_anchors = anchors[matched]                           # [G,tk,7]
+            tgt = self._encode(gt[:, None, :], m_anchors)          # [G,tk,9]
+            diff = jnp.abs(reg_p[matched] - tgt)
+            sl1 = jnp.where(diff < 1.0, 0.5 * diff ** 2, diff - 0.5)
+            loss_bbox = sl1.sum(-1)                                # [G, tk]
+            dir_tgt = (gt[:, 6] > 0).astype(jnp.int32)
+            ce_dir = -jnp.take_along_axis(
+                jax.nn.log_softmax(dir_l[matched]),
+                dir_tgt[:, None, None], axis=-1)[..., 0]           # [G, tk]
+            m_box_prob = jnp.exp(-(loss_bbox + ce_dir))
+            m_prob = m_cls * m_box_prob
+            # mean-max: weights 1/(1-p), normalized over the bag
+            wgt = 1.0 / jnp.clip(1.0 - m_prob, 1e-12)
+            wgt = wgt / wgt.sum(-1, keepdims=True)
+            bag_prob = (wgt * m_prob).sum(-1)                      # [G]
+            pos = -self.fa_alpha * jnp.log(jnp.clip(bag_prob, 1e-12, 1.0))
+            pos_loss = (pos * valid).sum() / jnp.maximum(nv, 1)
+
+            # ---- negatives: focal on P(cls) * (1 - P(a|obj)) ----
+            neg_prob = cls_prob * (1.0 - box_prob)
+            neg = ((1.0 - self.fa_alpha) * neg_prob ** self.fa_gamma *
+                   -jnp.log(jnp.clip(1.0 - neg_prob, 1e-12, 1.0)))
+            neg_loss = neg.sum() / jnp.maximum(nv * topk, 1)
+            return pos_loss, neg_loss
+
+        pos, neg = jax.vmap(one)(cls_logits.astype(jnp.float32),
+                                 reg_preds.astype(jnp.float32),
+                                 dir_logits.astype(jnp.float32),
+                                 gt_bboxes.astype(jnp.float32), gt_labels,
+                                 num_valid_gt)
+        return dict(positive_bag_loss=pos.mean(),
+                    negative_bag_loss=neg.mean())
+
+    def _loss_nearest(self, preds, gt_bboxes, gt_labels, num_valid_gt):
         """Center-nearest anchor assignment + focal/smooth-L1/dir losses.
 
         gt_bboxes [bs, G, 9] (cx cy cz w l h yaw vx vy), zero-padded."""

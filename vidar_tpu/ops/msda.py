@@ -341,9 +341,11 @@ def _prep_group(packed_cache, spatial_shapes, loc, weights, entries,
     """Host-side layout prep for one fused-kernel invocation.
 
     packed_cache: lvl -> [B, H, h+1, w+1, 128] f32 packed corner table.
-    Returns (atlas [C, R(+pad), 128], row_idx [C, Qp, S], cw4
-    [C, Qp, 4S] (sample-major corner-minor, attention+validity folded),
-    wx1/wy1/aw [C, Qp, S]) with C = B*heads, S = len(entries) * points.
+    Returns (atlas [C, R(+pad), 128], row_idx [C, Qp, S], wx1/wy1/aw
+    [C, Qp, S] fractions + masked attention weight) with C = B*heads,
+    S = len(entries) * points. Corner weights are expanded IN-KERNEL
+    (msda_pallas._cw4_block) — materializing the [C, Qp, 4S] cw4 here was
+    the largest prep term (~10 ms + ~800 MB HBM round-trip per SCA call).
     """
     b, q, heads = loc.shape[:3]
     tables, rows, wxs, wys, aws = [], [], [], [], []
@@ -387,7 +389,6 @@ def _prep_group(packed_cache, spatial_shapes, loc, weights, entries,
         wx1 = jnp.pad(wx1, ((0, 0), (0, pad), (0, 0)))
         wy1 = jnp.pad(wy1, ((0, 0), (0, pad), (0, 0)))
         aw = jnp.pad(aw, ((0, 0), (0, pad), (0, 0)))
-    cw4 = _cw4_from_fractions(wx1, wy1, aw)
     atlas = jnp.concatenate(tables, axis=2)
     atlas = atlas.reshape(b * heads, atlas.shape[2], atlas.shape[-1])
     # pad table rows to a sublane multiple: a partial-tile HBM->VMEM DMA
@@ -395,7 +396,7 @@ def _prep_group(packed_cache, spatial_shapes, loc, weights, entries,
     rpad = (-atlas.shape[1]) % 8
     if rpad:
         atlas = jnp.pad(atlas, ((0, 0), (0, rpad), (0, 0)))
-    return atlas, row_idx, cw4, wx1, wy1, aw
+    return atlas, row_idx, wx1, wy1, aw
 
 
 def _prep_group_fwd(tables, table_rows, spatial_shapes, loc, weights,
@@ -409,9 +410,9 @@ def _prep_group_fwd(tables, table_rows, spatial_shapes, loc, weights,
     the pre-padded tables (no extra pad pass — the old path re-padded the
     ~0.6 GB SCA atlas per call).
 
-    Returns (atlas [C, R, 128], row_idx [C, Qp, S], cw4 [C, Qp, 4S],
-    wx1/wy1/aw [C, Qp, S] — the q-padded fractions the backward kernels
-    consume; forward-only callers ignore them, XLA DCEs).
+    Returns (atlas [C, R, 128], row_idx [C, Qp, S], wx1/wy1/aw [C, Qp, S]
+    — the q-padded fractions both the forward (in-kernel corner-weight
+    expansion) and backward kernels consume).
     """
     b, q, heads = loc.shape[:3]
     rows, aws, wxs, wys = [], [], [], []
@@ -443,19 +444,16 @@ def _prep_group_fwd(tables, table_rows, spatial_shapes, loc, weights,
     wx1 = to_cqs(wxs)
     wy1 = to_cqs(wys)
     aw = to_cqs(aws)
-    cw4 = _cw4_from_fractions(wx1, wy1, aw)
-
     pad = (-q) % q_block
     if pad:
         row_idx = jnp.pad(row_idx, ((0, 0), (0, pad), (0, 0)))
-        cw4 = jnp.pad(cw4, ((0, 0), (0, pad), (0, 0)))
         wx1 = jnp.pad(wx1, ((0, 0), (0, pad), (0, 0)))
         wy1 = jnp.pad(wy1, ((0, 0), (0, pad), (0, 0)))
         aw = jnp.pad(aw, ((0, 0), (0, pad), (0, 0)))
     lvls = [e[0] for e in entries]
     atlas = (tables[lvls[0]] if len(lvls) == 1
              else jnp.concatenate([tables[lv] for lv in lvls], axis=1))
-    return atlas, row_idx, cw4, wx1, wy1, aw
+    return atlas, row_idx, wx1, wy1, aw
 
 
 def pack_raw_levels(value, spatial_shapes):
@@ -571,11 +569,11 @@ def _msda_tables_fwd_impl(spatial_shapes, table_rows, tables, loc, weights,
     interpret = jax.default_backend() == 'cpu'
     out = None
     for entries in groups:
-        atlas, row_idx, cw4, _, _, _ = _prep_group_fwd(
+        atlas, row_idx, wx1, wy1, aw = _prep_group_fwd(
             tables, table_rows, spatial_shapes, loc, weights, entries,
             q_block)
-        part = msda_gather_fused(atlas, row_idx, cw4, q_block=q_block,
-                                 interpret=interpret)
+        part = msda_gather_fused(atlas, row_idx, wx1, wy1, aw,
+                                 q_block=q_block, interpret=interpret)
         out = part if out is None else out + part
     dim = out.shape[-1]
     out = out[:, :q].reshape(b, heads, q, dim).transpose(0, 2, 1, 3)
@@ -609,11 +607,11 @@ def _msda_tables_bwd(spatial_shapes, table_rows, res, g):
     daw_l = [zeros_q] * num_levels
 
     for entries in groups:
-        atlas, row_idx, cw4, wx1, wy1, aw = _prep_group_fwd(
+        atlas, row_idx, wx1, wy1, aw = _prep_group_fwd(
             tables, table_rows, spatial_shapes, loc, weights, entries,
             q_block)
         datlas, dwx, dwy, daw = msda_gather_fused_bwd(
-            atlas, row_idx, cw4, wx1, wy1, aw, dout,
+            atlas, row_idx, wx1, wy1, aw, dout,
             q_block=q_block, interpret=interpret)
 
         ecount = len(entries)
@@ -737,10 +735,10 @@ def _msda_fused_fwd_impl(value_levels, spatial_shapes, loc, weights,
             tables[lvl] = pk
         kern = msda_gather_fused16 if packed16 else msda_gather_fused
         for entries in groups:
-            atlas, row_idx, cw4, _, _, _ = _prep_group_fwd(
+            atlas, row_idx, wx1, wy1, aw = _prep_group_fwd(
                 tables, table_rows, spatial_shapes, loc, weights, entries,
                 q_block)
-            part = kern(atlas, row_idx, cw4, q_block=q_block,
+            part = kern(atlas, row_idx, wx1, wy1, aw, q_block=q_block,
                         interpret=interpret)
             out = part if out is None else out + part
     else:
@@ -748,14 +746,14 @@ def _msda_fused_fwd_impl(value_levels, spatial_shapes, loc, weights,
             value_levels, spatial_shapes, needed,
             dtype=jnp.bfloat16 if packed16 else jnp.float32)
         for entries in groups:
-            atlas, row_idx, cw4, _, _, _ = _prep_group(
+            atlas, row_idx, wx1, wy1, aw = _prep_group(
                 cache, spatial_shapes, loc, weights, entries, q_block)
             if packed16:
                 part = msda_gather_fused16(pack_atlas16(atlas), row_idx,
-                                           cw4, q_block=q_block,
+                                           wx1, wy1, aw, q_block=q_block,
                                            interpret=interpret)
             else:
-                part = msda_gather_fused(atlas, row_idx, cw4,
+                part = msda_gather_fused(atlas, row_idx, wx1, wy1, aw,
                                          q_block=q_block,
                                          interpret=interpret)
             out = part if out is None else out + part
@@ -844,10 +842,10 @@ def _msda_fused_bwd(spatial_shapes, res, g):
     daw_l = [zeros_q] * num_levels
 
     for entries in groups:
-        atlas, row_idx, cw4, wx1, wy1, aw = _prep_group(
+        atlas, row_idx, wx1, wy1, aw = _prep_group(
             cache, spatial_shapes, loc, weights, entries, q_block)
         datlas, dwx, dwy, daw = msda_gather_fused_bwd(
-            atlas, row_idx, cw4, wx1, wy1, aw, dout,
+            atlas, row_idx, wx1, wy1, aw, dout,
             q_block=q_block, interpret=interpret)
 
         ecount = len(entries)

@@ -37,11 +37,11 @@ Layout contract (prepared by ``ops.msda`` when ``impl='fused'``):
 - ``row_idx``: ``[C, Q, S]`` int32 row into the per-C table (group-local
   level bases folded in, clipped in-range), ``S`` = the group's samples
   per query (its levels × points).
-- ``cw4``: ``[C, Q, S*4]`` f32 corner weights, sample-major corner-minor
-  lanes (``[s0c0, s0c1, s0c2, s0c3, s1c0, ...]``), with the attention
-  weight and out-of-map validity folded in (fwd + table-grad backward).
-- ``wx1/wy1/aw``: ``[C, Q, S]`` f32 bilinear fractions and masked attention
-  weight (weight-grad backward).
+- ``wx1/wy1/aw``: ``[C, Q, S]`` f32 bilinear fractions and attention weight
+  with out-of-map validity folded in. Corner weights (``[.., S*4]``
+  sample-major corner-minor lanes ``[s0c0, s0c1, ..]``) are expanded
+  IN-KERNEL once per q-block (``_cw4_block``) — materializing them
+  host-side was the largest prep term (~10 ms + ~800 MB HBM per SCA call).
 
 Reference semantics: mmcv ``ms_deform_attn_forward`` (see ops/msda.py
 docstring; reference projects/mmdet3d_plugin/bevformer/modules/
@@ -80,6 +80,49 @@ def _expand_mat(sc):
     return (dst // DIM == src).astype(jnp.float32)
 
 
+def _cw4_mats_kernel(s):
+    """Signed 0/1 expansion mats (+biases) building [.., 4*s] corner weights
+    from per-sample fractions — same construction/lane order (s*4+corner) as
+    ``ops.msda._cw4_mats``, duplicated so this module stays import-light.
+    Single-nonzero columns at HIGHEST precision: exact."""
+    l = jax.lax.broadcasted_iota(jnp.int32, (s, 4 * s), 1)
+    src = jax.lax.broadcasted_iota(jnp.int32, (s, 4 * s), 0)
+    corner = l % 4
+    hit = (l // 4 == src).astype(jnp.float32)
+    ex = hit * jnp.where(corner % 2 == 1, 1.0, -1.0)
+    ey = hit * jnp.where(corner >= 2, 1.0, -1.0)
+    ea = hit
+    lb = jax.lax.broadcasted_iota(jnp.int32, (1, 4 * s), 1)
+    bx = (lb % 4 % 2 == 0).astype(jnp.float32)
+    by = (lb % 4 < 2).astype(jnp.float32)
+    return ex, bx, ey, by, ea
+
+
+def _cw4_block(wx, wy, aw, mats):
+    """[q_blk, s] fractions -> [q_blk, 4*s] corner weights, bit-matching the
+    host-side ``ops.msda._cw4_from_fractions`` (same op order/precision).
+
+    Computed ONCE per (c, q-block) grid step and staged through a VMEM
+    scratch (Mosaic cannot dynamic-slice registers): in-kernel expansion
+    measured kernel-time-neutral at every production shape while deleting
+    the [C, Q, 4S] host-side cw4 stage — the largest prep term (~10 ms and
+    ~800 MB of HBM round-trip per SCA call; benchmarks/cw_variants_bench.py.
+    Per-TILE expansion was 2x worse: 3 small HIGHEST matmuls per tile
+    don't amortize)."""
+    ex, bx, ey, by, ea = mats
+    dn = (((1,), (0,)), ((), ()))
+    wyp = jax.lax.dot_general(wy, ey, dimension_numbers=dn,
+                              preferred_element_type=jnp.float32,
+                              precision=_HI) + by
+    wxp = jax.lax.dot_general(wx, ex, dimension_numbers=dn,
+                              preferred_element_type=jnp.float32,
+                              precision=_HI) + bx
+    awp = jax.lax.dot_general(aw, ea, dimension_numbers=dn,
+                              preferred_element_type=jnp.float32,
+                              precision=_HI)
+    return (wyp * wxp) * awp
+
+
 def _gather_chunk(table, idx_ref, q0, s0, sc, qt=QT):
     """[qt, sc*128] gathered rows, query-major, samples along lanes."""
     qrows = []
@@ -91,14 +134,15 @@ def _gather_chunk(table, idx_ref, q0, s0, sc, qt=QT):
     return jnp.concatenate(qrows, axis=0)
 
 
-def _fused_kernel(qt, idx_ref, cw_ref, atlas_ref, out_ref, table, sem):
+def _fused_kernel(qt, idx_ref, wx_ref, wy_ref, aw_ref, atlas_ref, out_ref,
+                  table, cwbuf, sem):
     """One (c, q-block) grid step; see module docstring for layouts.
     ``qt`` queries per inner tile — raised above QT for small S so the
     fixed per-tile cost (MXU weight expansion, loop overhead) amortizes
     over more gather rows."""
     c = pl.program_id(0)
     qb = pl.program_id(1)
-    s = cw_ref.shape[2] // 4
+    s = wx_ref.shape[2]
     q_blk = out_ref.shape[1]
 
     # Stage this C's packed table into VMEM once; it stays resident for all
@@ -110,13 +154,15 @@ def _fused_kernel(qt, idx_ref, cw_ref, atlas_ref, out_ref, table, sem):
         cp.wait()
 
     emats = {sc: _expand_mat(sc) for _, sc in _chunks(s)}
+    cwbuf[:] = _cw4_block(wx_ref[0, :, :], wy_ref[0, :, :], aw_ref[0, :, :],
+                          _cw4_mats_kernel(s))
 
     def tile(i, _):
         q0 = pl.multiple_of(i * qt, qt)
         acc = jnp.zeros((qt, DIM), jnp.float32)
         for (s0, sc) in _chunks(s):
             g = _gather_chunk(table, idx_ref, q0, s0, sc, qt)
-            cw = cw_ref[0, pl.ds(q0, qt), 4 * s0:4 * (s0 + sc)]
+            cw = cwbuf[pl.ds(q0, qt), 4 * s0:4 * (s0 + sc)]
             w_rep = jax.lax.dot_general(
                 cw, emats[sc], dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=_HI)
@@ -132,27 +178,31 @@ def _fused_kernel(qt, idx_ref, cw_ref, atlas_ref, out_ref, table, sem):
 
 @functools.partial(jax.jit, static_argnames=('q_block', 'interpret'))
 def msda_gather_fused(atlas: jnp.ndarray, row_idx: jnp.ndarray,
-                      cw4: jnp.ndarray, q_block: int = 256,
+                      wx1: jnp.ndarray, wy1: jnp.ndarray, aw: jnp.ndarray,
+                      q_block: int = 256,
                       interpret: bool = False) -> jnp.ndarray:
     """Fused packed-corner gather + bilinear/attention reduce -> [C, Q, DIM].
 
-    See the module docstring for the layout contract.
+    See the module docstring for the layout contract. ``wx1/wy1/aw``:
+    [C, Q, S] f32 bilinear fractions + masked attention weight; corner
+    weights are expanded IN-KERNEL once per q-block (``_cw4_block``).
     """
     c, r, lanes = atlas.shape
     assert atlas.dtype == jnp.float32 and lanes == 4 * DIM
     _, q, s = row_idx.shape
-    qt = 32 if s <= 4 else (16 if s <= 8 else QT)
+    qt = 32 if s <= 8 else 16
     assert q % q_block == 0 and q_block % qt == 0
-    assert cw4.shape == (c, q, 4 * s)
+    assert wx1.shape == wy1.shape == aw.shape == (c, q, s)
 
+    qspec = pl.BlockSpec((1, q_block, s), lambda ci, qi: (ci, qi, 0),
+                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_fused_kernel, qt),
         grid=(c, q // q_block),
         in_specs=[
             pl.BlockSpec((1, q_block, s), lambda ci, qi: (ci, qi, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, q_block, 4 * s), lambda ci, qi: (ci, qi, 0),
-                         memory_space=pltpu.VMEM),
+            qspec, qspec, qspec,
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((1, q_block, DIM), lambda ci, qi: (ci, qi, 0),
@@ -160,10 +210,11 @@ def msda_gather_fused(atlas: jnp.ndarray, row_idx: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((c, q, DIM), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((r, lanes), jnp.float32),
+            pltpu.VMEM((q_block, 4 * s), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(row_idx, cw4, atlas)
+    )(row_idx, wx1, wy1, aw, atlas)
 
 
 def _gather_chunk16(table, idx_ref, q0, s0, sc, qt=QT):
@@ -191,11 +242,12 @@ def _gather_chunk16(table, idx_ref, q0, s0, sc, qt=QT):
     return jnp.concatenate(qrows, axis=0)
 
 
-def _fused16_kernel(qt, idx_ref, cw_ref, atlas_ref, out_ref, table, sem):
+def _fused16_kernel(qt, idx_ref, wx_ref, wy_ref, aw_ref, atlas_ref, out_ref,
+                    table, cwbuf, sem):
     """``_fused_kernel`` over a row-pair-packed uint32 table."""
     c = pl.program_id(0)
     qb = pl.program_id(1)
-    s = cw_ref.shape[2] // 4
+    s = wx_ref.shape[2]
     q_blk = out_ref.shape[1]
 
     @pl.when(qb == 0)
@@ -205,13 +257,15 @@ def _fused16_kernel(qt, idx_ref, cw_ref, atlas_ref, out_ref, table, sem):
         cp.wait()
 
     emats = {sc: _expand_mat(sc) for _, sc in _chunks(s)}
+    cwbuf[:] = _cw4_block(wx_ref[0, :, :], wy_ref[0, :, :], aw_ref[0, :, :],
+                          _cw4_mats_kernel(s))
 
     def tile(i, _):
         q0 = pl.multiple_of(i * qt, qt)
         acc = jnp.zeros((qt, DIM), jnp.float32)
         for (s0, sc) in _chunks(s):
             g = _gather_chunk16(table, idx_ref, q0, s0, sc, qt)
-            cw = cw_ref[0, pl.ds(q0, qt), 4 * s0:4 * (s0 + sc)]
+            cw = cwbuf[pl.ds(q0, qt), 4 * s0:4 * (s0 + sc)]
             w_rep = jax.lax.dot_general(
                 cw, emats[sc], dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=_HI)
@@ -246,7 +300,8 @@ def pack_atlas16(atlas: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=('q_block', 'interpret'))
 def msda_gather_fused16(atlas16: jnp.ndarray, row_idx: jnp.ndarray,
-                        cw4: jnp.ndarray, q_block: int = 256,
+                        wx1: jnp.ndarray, wy1: jnp.ndarray, aw: jnp.ndarray,
+                        q_block: int = 256,
                         interpret: bool = False) -> jnp.ndarray:
     """Fused gather+reduce over a row-pair-packed uint32 table.
 
@@ -256,18 +311,19 @@ def msda_gather_fused16(atlas16: jnp.ndarray, row_idx: jnp.ndarray,
     c, rp, lanes = atlas16.shape
     assert atlas16.dtype == jnp.uint32 and lanes == 4 * DIM
     _, q, s = row_idx.shape
-    qt = 32 if s <= 4 else (16 if s <= 8 else QT)
+    qt = 32 if s <= 8 else 16
     assert q % q_block == 0 and q_block % qt == 0
-    assert cw4.shape == (c, q, 4 * s)
+    assert wx1.shape == wy1.shape == aw.shape == (c, q, s)
 
+    qspec = pl.BlockSpec((1, q_block, s), lambda ci, qi: (ci, qi, 0),
+                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_fused16_kernel, qt),
         grid=(c, q // q_block),
         in_specs=[
             pl.BlockSpec((1, q_block, s), lambda ci, qi: (ci, qi, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, q_block, 4 * s), lambda ci, qi: (ci, qi, 0),
-                         memory_space=pltpu.VMEM),
+            qspec, qspec, qspec,
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((1, q_block, DIM), lambda ci, qi: (ci, qi, 0),
@@ -275,10 +331,11 @@ def msda_gather_fused16(atlas16: jnp.ndarray, row_idx: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((c, q, DIM), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((rp, lanes), jnp.uint32),
+            pltpu.VMEM((q_block, 4 * s), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(row_idx, cw4, atlas16)
+    )(row_idx, wx1, wy1, aw, atlas16)
 
 
 def _tsel_mat(sc, corner):
@@ -358,18 +415,20 @@ def _bwd_weights_kernel(idx_ref, wx_ref, wy_ref, aw_ref, dout_ref, atlas_ref,
     jax.lax.fori_loop(0, q_blk // QT, tile, 0)
 
 
-def _bwd_table_kernel(idx_ref, cw_ref, dout_ref, dtab_ref, acc, sem):
+def _bwd_table_kernel(idx_ref, wx_ref, wy_ref, aw_ref, dout_ref, dtab_ref,
+                      acc, cwbuf, sem):
     """Backward pass 2: table-gradient scatter.
 
     Row gradient of sample s is its corner-weight lanes times the query's
-    dout: dtable[row_s] += cw4-expanded * dout-replicated. Accumulated in a
-    VMEM scratch (sequential, race-free) and DMA'd to HBM after this
-    table's last query block.
+    dout: dtable[row_s] += cw4-expanded * dout-replicated (corner weights
+    built in-kernel per q-block from the fractions, like the forward).
+    Accumulated in a VMEM scratch (sequential, race-free) and DMA'd to HBM
+    after this table's last query block.
     """
     qb = pl.program_id(1)
     n_qb = pl.num_programs(1)
     c = pl.program_id(0)
-    s = cw_ref.shape[2] // 4
+    s = wx_ref.shape[2]
     q_blk = dout_ref.shape[1]
 
     @pl.when(qb == 0)
@@ -378,12 +437,14 @@ def _bwd_table_kernel(idx_ref, cw_ref, dout_ref, dtab_ref, acc, sem):
 
     emats = {sc: _expand_mat(sc) for _, sc in _chunks(s)}
     dmats = {sc: _dout_rep_mat(sc) for _, sc in _chunks(s)}
+    cwbuf[:] = _cw4_block(wx_ref[0, :, :], wy_ref[0, :, :], aw_ref[0, :, :],
+                          _cw4_mats_kernel(s))
 
     def tile(i, _):
         q0 = pl.multiple_of(i * QT, QT)
         dout_t = dout_ref[0, pl.ds(q0, QT), :]
         for (s0, sc) in _chunks(s):
-            cw = cw_ref[0, pl.ds(q0, QT), 4 * s0:4 * (s0 + sc)]
+            cw = cwbuf[pl.ds(q0, QT), 4 * s0:4 * (s0 + sc)]
             w_rep = jax.lax.dot_general(
                 cw, emats[sc], dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=_HI)
@@ -410,7 +471,7 @@ def _bwd_table_kernel(idx_ref, cw_ref, dout_ref, dtab_ref, acc, sem):
 
 @functools.partial(jax.jit, static_argnames=('q_block', 'interpret'))
 def msda_gather_fused_bwd(atlas: jnp.ndarray, row_idx: jnp.ndarray,
-                          cw4: jnp.ndarray, wx1: jnp.ndarray,
+                          wx1: jnp.ndarray,
                           wy1: jnp.ndarray, aw: jnp.ndarray,
                           dout: jnp.ndarray, q_block: int = 256,
                           interpret: bool = False):
@@ -428,8 +489,6 @@ def msda_gather_fused_bwd(atlas: jnp.ndarray, row_idx: jnp.ndarray,
                          memory_space=pltpu.SMEM)
     qspec = pl.BlockSpec((1, q_block, s), lambda ci, qi: (ci, qi, 0),
                          memory_space=pltpu.VMEM)
-    cwspec = pl.BlockSpec((1, q_block, 4 * s), lambda ci, qi: (ci, qi, 0),
-                          memory_space=pltpu.VMEM)
     dspec = pl.BlockSpec((1, q_block, DIM), lambda ci, qi: (ci, qi, 0),
                          memory_space=pltpu.VMEM)
 
@@ -448,12 +507,13 @@ def msda_gather_fused_bwd(atlas: jnp.ndarray, row_idx: jnp.ndarray,
     datlas = pl.pallas_call(
         _bwd_table_kernel,
         grid=(c, q // q_block),
-        in_specs=[ispec, cwspec, dspec],
+        in_specs=[ispec, qspec, qspec, qspec, dspec],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((c, r, lanes), jnp.float32),
         scratch_shapes=[pltpu.VMEM((r, lanes), jnp.float32),
+                        pltpu.VMEM((q_block, 4 * s), jnp.float32),
                         pltpu.SemaphoreType.DMA],
         interpret=interpret,
-    )(row_idx, cw4, dout)
+    )(row_idx, wx1, wy1, aw, dout)
 
     return datlas, dwx, dwy, daw

@@ -27,6 +27,9 @@ def parse_args():
     p.add_argument('--submission-path', default='submission/model')
     p.add_argument('--viz-pcd', action='store_true')
     p.add_argument('--viz-path', default='dbg/pred_pcd')
+    p.add_argument('--dump-viz', default=None, metavar='PKL',
+                   help='detection eval: dump per-sample images/lidar2img/'
+                        'pred/gt for tools.visualize detections')
     p.add_argument('--streaming', action='store_true',
                    help='video streaming eval: single-frame forward with a '
                         'cached prev BEV + ego-motion rebasing (reference '
@@ -104,7 +107,7 @@ def det_eval(args, cfg, model, dataset):
                                method=model.get_bboxes), new_state
 
     n = min(len(dataset), args.max_samples or len(dataset))
-    predictions, ground_truth = {}, {}
+    predictions, ground_truth, viz_dump = {}, {}, {}
     class_names = tuple(cfg['data']['test'].get(
         'classes', ('car', 'truck', 'construction_vehicle', 'bus', 'trailer',
                     'barrier', 'motorcycle', 'bicycle', 'pedestrian',
@@ -143,8 +146,26 @@ def det_eval(args, cfg, model, dataset):
         if hasattr(dataset, 'det_gt_attrs'):
             gt_entry['attrs'] = np.asarray(dataset.det_gt_attrs(i))[:g]
         ground_truth[f's{i}'] = gt_entry
+        if getattr(args, 'dump_viz', None):
+            # current-frame cameras, min-max rescaled for display (the
+            # pipeline images are mean/std normalised)
+            imgs = np.asarray(batch.frames.images)[0, -1]
+            lo, hi = imgs.min(), imgs.max()
+            viz_dump[f's{i}'] = dict(
+                images=(imgs - lo) / max(hi - lo, 1e-6),
+                lidar2img=np.asarray(batch.frames.lidar2img)[0, -1],
+                pred={k: predictions[f's{i}'][k]
+                      for k in ('boxes', 'scores', 'labels')},
+                gt={k: gt_entry[k] for k in ('boxes', 'labels')})
         if (i + 1) % 10 == 0:
             print(f'[{i + 1}/{n}]')
+
+    if getattr(args, 'dump_viz', None):
+        import pickle
+        os.makedirs(os.path.dirname(args.dump_viz) or '.', exist_ok=True)
+        with open(args.dump_viz, 'wb') as f:
+            pickle.dump(viz_dump, f)
+        print(f'viz dump: {args.dump_viz} ({len(viz_dump)} samples)')
 
     metrics = evaluate_detection(predictions, ground_truth, class_names)
     for k, v in metrics.items():
