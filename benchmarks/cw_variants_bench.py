@@ -238,10 +238,18 @@ def run_loop(atlas, row_idx, w0, w1, w2, weights='cw4', tree=False, qt=8):
 
 
 def main():
-    for (c, q, s, r, qts, label) in [
-            (48, 16128, 32, 23408, (8, 16), 'SCA'),
-            (16, 39936, 4, 20000, (32,), 'TSA'),
-            (8, 39936, 8, 20000, (16, 32), 'decoder')]:
+    shapes = [
+        (48, 16128, 32, 23408, (8, 16), 'SCA-one-group'),
+        (16, 39936, 4, 20000, (32,), 'TSA'),
+        (8, 39936, 8, 20000, (16, 32), 'decoder')]
+    if os.environ.get('CW_PROD'):
+        # the shapes the production SCA plan actually runs (two groups:
+        # level0 alone, levels 1-3 together), cap 0.4
+        shapes = [
+            (48, 16128, 8, 23520, (32, 64), 'SCA-group1 (lvl0, s=8)'),
+            (48, 16128, 24, 7936, (8, 16, 32), 'SCA-group2 (lvl1-3, s=24)'),
+        ]
+    for (c, q, s, r, qts, label) in shapes:
         print(f'--- {label} (c={c} q={q} s={s} r={r})', flush=True)
         run_shape(c, q, s, r, qts)
 

@@ -72,7 +72,7 @@ def test_overflow_matches_compaction_telemetry():
 
     ratio = 0.1
     cap = int(bev_h * bev_w * ratio)
-    _, _, _, _, overflow = sca_compaction(ref_cam, bev_mask, cap)
+    _, _, _, _, overflow, _ = sca_compaction(ref_cam, bev_mask, cap)
     metric = sca_overflow_count(l2i[None], img_hw, bev_h, bev_w, PC, ratio)
     assert int(metric) == int(np.asarray(overflow).max())
 

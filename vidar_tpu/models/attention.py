@@ -236,7 +236,10 @@ def sca_compaction(reference_points_cam, bev_mask, cap: int):
     layers instead of rebuilding the partition + gathers per layer.
 
     Returns (sel [bs, cams, cap], sel_valid [bs, cams, cap],
-    ref_c [bs*cams, cap, D, 2], visible [bs, cams, Q], overflow [bs, cams]).
+    ref_c [bs*cams, cap, D, 2], visible [bs, cams, Q], overflow [bs, cams],
+    inv_sel [bs, cams, Q] — position of query q in the compacted set, or
+    ``cap`` (sentinel -> zero row) when q was not selected; lets the
+    scatter-back run as a fast gather instead of a TPU scatter-add).
     """
     visible = jnp.any(bev_mask, axis=-1).transpose(1, 0, 2)  # [bs, cams, Q]
     ref = reference_points_cam.transpose(1, 0, 2, 3, 4)      # [bs,cams,Q,D,2]
@@ -247,7 +250,15 @@ def sca_compaction(reference_points_cam, bev_mask, cap: int):
     sel_valid = jnp.take_along_axis(visible, sel, axis=2)
     ref_c = jnp.take_along_axis(ref, sel[..., None, None], axis=2)
     ref_c = ref_c.reshape(bs * num_cams, cap, -1, 2)
-    return sel, sel_valid, ref_c, visible, overflow
+    # inverse permutation (scatter is per-FRAME int32 here, per-LAYER f32
+    # feature rows otherwise): sel is a prefix of a permutation, so the
+    # writes are unique; unselected/invalid slots keep the sentinel
+    inv_sel = jnp.full((bs, num_cams, num_query), cap, jnp.int32)
+    pos = jnp.where(sel_valid, jnp.arange(cap, dtype=jnp.int32)[None, None],
+                    cap)
+    inv_sel = jnp.put_along_axis(inv_sel, sel, pos, axis=2,
+                                 inplace=False)
+    return sel, sel_valid, ref_c, visible, overflow, inv_sel
 
 
 class SpatialCrossAttention(nn.Module):
@@ -344,7 +355,7 @@ class SpatialCrossAttention(nn.Module):
             if compact is None:
                 compact = sca_compaction(reference_points_cam, bev_mask,
                                          cap)
-            sel, sel_valid, ref_c, visible, overflow = compact
+            sel, sel_valid, ref_c, visible, overflow, inv_sel = compact
             assert sel.shape[-1] == cap
             self.sow('intermediates', 'sca_capacity_overflow', overflow)
 
@@ -360,20 +371,17 @@ class SpatialCrossAttention(nn.Module):
                 cam_out = msdeform_attn(value_p, list(spatial_shapes), loc,
                                         weights)
             cam_out = cam_out.reshape(bs, num_cams, cap, self.embed_dims)
-            cam_out = cam_out * sel_valid[..., None].astype(cam_out.dtype)
 
-            # scatter back: each (b, cam, q) slot is selected at most once.
-            flat_idx = (sel +
-                        (jnp.arange(bs, dtype=sel.dtype) * num_cams)[
-                            :, None, None] * num_query +
-                        (jnp.arange(num_cams, dtype=sel.dtype) *
-                         num_query)[None, :, None])
-            scat = jnp.zeros((bs * num_cams * num_query, self.embed_dims),
-                             cam_out.dtype)
-            scat = scat.at[flat_idx.reshape(-1)].add(
-                cam_out.reshape(-1, self.embed_dims), mode='drop',
-                unique_indices=True)
-            cam_out = scat.reshape(bs, num_cams, num_query, self.embed_dims)
+            # scatter-back as a GATHER through the plan's inverse
+            # permutation: TPU scatters serialize, gathers vectorize. Row
+            # ``cap`` is an appended zero row — the sentinel for unselected
+            # slots AND invalid (padding) selections, which also replaces
+            # the explicit sel_valid masking.
+            cam_out_p = jnp.concatenate(
+                [cam_out, jnp.zeros((bs, num_cams, 1, self.embed_dims),
+                                    cam_out.dtype)], axis=2)
+            cam_out = jnp.take_along_axis(cam_out_p, inv_sel[..., None],
+                                          axis=2)
         else:
             visible = jnp.any(bev_mask, axis=-1).transpose(1, 0, 2)
             ref = reference_points_cam.transpose(1, 0, 2, 3, 4)
