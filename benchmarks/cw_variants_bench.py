@@ -100,6 +100,20 @@ def _gather_chunk(table, idx_ref, q0, s0, sc, qt):
     return jnp.concatenate(qrows, axis=0)
 
 
+def _seg_fold(p, sc):
+    """[qt, sc*128] -> [qt, 128]: sum the sc sample segments at full width."""
+    if sc & (sc - 1):  # not a power of two: sequential segment adds
+        acc = p[:, :4 * DIM]
+        for k in range(1, sc):
+            acc = acc + p[:, k * 4 * DIM:(k + 1) * 4 * DIM]
+        return acc
+    w = sc * 4 * DIM
+    while w > 4 * DIM:
+        w //= 2
+        p = p[:, :w] + p[:, w:2 * w]
+    return p
+
+
 def _fold(p, sc, tree):
     if tree:
         w = sc * 4 * DIM
@@ -141,7 +155,12 @@ def _kernel(qt, weights, tree, idx_ref, w0_ref, w1_ref, w2_ref, atlas_ref,
 
     def tile(i, _):
         q0 = pl.multiple_of(i * qt, qt)
-        acc = jnp.zeros((qt, DIM), jnp.float32)
+        if tree == 'acc':
+            # full-width accumulator: corners fold ONCE per tile (3 adds)
+            # instead of 4 narrow adds per sample
+            acc = jnp.zeros((qt, 4 * DIM), jnp.float32)
+        else:
+            acc = jnp.zeros((qt, DIM), jnp.float32)
         if weights == 'tile':
             cw_full = _cw4_tile(w0_ref[0, pl.ds(q0, qt), :],
                                 w1_ref[0, pl.ds(q0, qt), :],
@@ -175,7 +194,13 @@ def _kernel(qt, weights, tree, idx_ref, w0_ref, w1_ref, w2_ref, atlas_ref,
                     aw, ea, dimension_numbers=dn,
                     preferred_element_type=jnp.float32, precision=_HI)
                 w_rep = (yp * xp) * ap
-            acc = acc + _fold(g * w_rep, sc, tree)
+            if tree == 'acc':
+                acc = acc + _seg_fold(g * w_rep, sc)
+            else:
+                acc = acc + _fold(g * w_rep, sc, tree)
+        if tree == 'acc':
+            acc = acc[:, :2 * DIM] + acc[:, 2 * DIM:]
+            acc = acc[:, :DIM] + acc[:, DIM:]
         out_ref[0, pl.ds(q0, qt), :] = acc
         return 0
 
@@ -277,7 +302,8 @@ def run_shape(c, q, s, r, qts):
     # correctness cross-check (one tile worth would do; full is cheap enough)
     ref = None
     results = {}
-    grid = [(w, False, qt) for w in ('cw4', 'blk') for qt in qts]
+    grid = [(w, t, qt) for w in ('cw4', 'blk') for t in (False, 'acc')
+            for qt in qts]
     if os.environ.get('CW_FULL'):
         grid = [(w, t, qt) for w in ('cw4', 'tile', 'wide', 'blk')
                 for t in (False, True) for qt in qts]

@@ -76,33 +76,39 @@ def main():
         from vidar_tpu.ops.msda import _pack_corners
         return _pack_corners(value_l, h, w, out_dtype=jnp.float32)
 
-    def pack_conv_notrans(value_l):
-        # conv output in [B, R, heads*4*dim] layout (no final transpose) —
-        # what a head-indexed kernel BlockSpec could consume directly.
-        from vidar_tpu.ops.msda import _pack_kernel
+    def pack_conv_grouped(value_l):
+        # the round-2 formulation: grouped conv over [B,H,W,heads*dim] then
+        # a post-conv head transpose of the 4x-expanded table
+        kern = np.zeros((2, 2, dim, heads * 4 * dim), np.float32)
+        d = np.arange(dim)
+        for hh in range(heads):
+            for dy in range(2):
+                for dx in range(2):
+                    f = dy * 2 + dx
+                    kern[dy, dx, d, hh * 4 * dim + f * dim + d] = 1.0
         x = value_l.reshape(b, h, w, heads * dim)
-        kern = jnp.asarray(_pack_kernel(heads, dim, value_l.dtype))
-        return jax.lax.conv_general_dilated(
-            x, kern, (1, 1), ((1, 1), (1, 1)),
+        out = jax.lax.conv_general_dilated(
+            x, jnp.asarray(kern, value_l.dtype), (1, 1), ((1, 1), (1, 1)),
             dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
             feature_group_count=heads, preferred_element_type=jnp.float32)
+        out = out.reshape(b, (h + 1) * (w + 1), heads, 4 * dim)
+        return out.transpose(0, 2, 1, 3)
 
     # one-time equivalence check: a layout/ordering regression in the conv
     # formulation must not go unnoticed by the bench
     ref = np.asarray(jax.jit(pack_current)(value))
     got = np.asarray(jax.jit(pack_conv)(value))
     np.testing.assert_array_equal(ref, got)
-    got_nt = np.asarray(jax.jit(pack_conv_notrans)(value)).reshape(
-        b, (h + 1) * (w + 1), heads, 4 * dim).transpose(0, 2, 1, 3)
-    np.testing.assert_array_equal(ref, got_nt)
-    print('pack_conv / pack_conv_notrans match pack_current', flush=True)
+    got_g = np.asarray(jax.jit(pack_conv_grouped)(value))
+    np.testing.assert_array_equal(ref, got_g)
+    print('pack_conv / pack_conv_grouped match pack_current', flush=True)
 
     bench('pack current        ', jax.jit(pack_current), value)
     bench('pack barrier        ', jax.jit(pack_barrier), value)
     bench('pack bf16 then cast ', jax.jit(pack_bf16_then_cast), value)
     bench('pack pad-offset     ', jax.jit(pack_dynslice), value)
-    bench('pack conv (grouped) ', jax.jit(pack_conv), value)
-    bench('pack conv no-transp ', jax.jit(pack_conv_notrans), value)
+    bench('pack conv (heads-in-batch)', jax.jit(pack_conv), value)
+    bench('pack conv (grouped, r2)   ', jax.jit(pack_conv_grouped), value)
 
 
 if __name__ == '__main__':

@@ -87,6 +87,49 @@ def main():
               lambda wx, a, i: msda_gather_fused16(a, i, wx, wx, wx),
               wx, atlas16, idx)
 
+    # ---- staged attribution with LOC perturbed (so prep can't be DCE'd;
+    # the table is prebuilt so pack stays out of the loop) ----
+    tables = {0: atlas16}
+    table_rows = {0: 2 * atlas16.shape[1]}
+    entries = (((0, 0, bev_w),),)
+
+    def prep_stage(l, w):
+        outs = []
+        for es in entries:
+            outs.append(m._prep_group_fwd(tables, table_rows, shapes, l, w,
+                                          es, 256))
+        return [o[1:] for o in outs]   # drop the aliased atlas
+
+    loop_time('prep only (loc-perturbed)',
+              lambda l, w: prep_stage(l, w), loc, wts)
+
+    def prep_kernel(l, w):
+        out = None
+        for es in entries:
+            atlas, row_idx, wx1, wy1, aw = m._prep_group_fwd(
+                tables, table_rows, shapes, l, w, es, 256)
+            part = msda_gather_fused16(atlas, row_idx, wx1, wy1, aw)
+            out = part if out is None else out + part
+        return out
+
+    loop_time('prep+kernel (loc-perturbed)', prep_kernel, loc, wts)
+
+    def prep_kernel_glue(l, w):
+        out = prep_kernel(l, w)
+        dim = out.shape[-1]
+        out = out[:, :nq].reshape(c2, heads, nq, dim).transpose(0, 2, 1, 3)
+        return out.reshape(c2, nq, heads * dim).astype(dt)
+
+    loop_time('prep+kernel+out-glue (loc-perturbed)', prep_kernel_glue,
+              loc, wts)
+
+    # full op, loc-perturbed: value is loop-invariant so XLA may hoist the
+    # pack out of the scan — the delta vs the value-perturbed 'TSA op
+    # total' above is the true in-loop pack share.
+    loop_time('TSA op total (loc-perturbed, pack hoistable)',
+              lambda l, w: m.msdeform_attn(value, shapes, l, w,
+                                           impl='fused'), loc, wts)
+
 
 if __name__ == '__main__':
     main()

@@ -81,20 +81,17 @@ def _level_sample(value_l: jnp.ndarray, loc: jnp.ndarray, h: int, w: int):
     return out.transpose(0, 2, 1, 3, 4)
 
 
-def _pack_kernel(heads: int, dim: int, dtype) -> 'np.ndarray':
-    """0/1 HWIO kernel for the conv formulation of ``_pack_corners``.
-
-    Grouped 2x2 conv, one group per head: input channel d of group h is
-    copied to output channel ``f*dim + d`` of group h where ``f = dy*2+dx``
-    indexes the corner. Single-term sums, so the conv is bit-exact.
-    """
-    k = np.zeros((2, 2, dim, heads * 4 * dim), np.float32)
+def _pack_kernel(dim: int, dtype) -> 'np.ndarray':
+    """0/1 HWIO kernel for the conv formulation of ``_pack_corners``:
+    input channel d is copied to output channel ``f*dim + d`` where
+    ``f = dy*2+dx`` indexes the corner. Single-term sums, so the conv is
+    bit-exact. Heads ride the conv BATCH dim (see ``_pack_corners``)."""
+    k = np.zeros((2, 2, dim, 4 * dim), np.float32)
     d = np.arange(dim)
-    for hh in range(heads):
-        for dy in range(2):
-            for dx in range(2):
-                f = dy * 2 + dx
-                k[dy, dx, d, hh * 4 * dim + f * dim + d] = 1.0
+    for dy in range(2):
+        for dx in range(2):
+            f = dy * 2 + dx
+            k[dy, dx, d, f * dim + d] = 1.0
     return k.astype(dtype)
 
 
@@ -108,25 +105,27 @@ def _pack_corners(value_l: jnp.ndarray, h: int, w: int,
     corners of a sample (TPU gathers are row-rate-bound: 4x fewer rows and
     wider rows are both wins).
 
-    Implemented as a grouped 2x2 zero-padded convolution with a 0/1 kernel:
-    the pad IS the zero ring, the kernel does corner gather + head
-    de-interleave on the MXU (exact — one term per output element), and the
-    remaining transpose moves contiguous ``4*dim``-lane granules. The naive
+    Implemented as a 2x2 zero-padded convolution with a 0/1 kernel and the
+    heads folded into the conv BATCH: the pad IS the zero ring and the
+    kernel does the corner gather on the MXU (exact — one term per output
+    element). The head de-interleave transpose runs BEFORE the 4x corner
+    expansion (moves ``dim``-lane granules of the raw rows, 8x less data
+    than transposing the packed table afterwards), and the conv output IS
+    the final [B*H, R, 4*dim] table layout — no post-transpose. The naive
     pad+shift+concat formulation measured ~10x the bandwidth floor on v5e
-    (benchmarks/pack_bench.py); this one is MXU-bound at ~1/5 the time.
+    (benchmarks/pack_bench.py).
     """
     b, _, heads, dim = value_l.shape
     out_dtype = out_dtype or value_l.dtype
-    x = value_l.reshape(b, h, w, heads * dim)
-    kern = jnp.asarray(_pack_kernel(heads, dim, value_l.dtype))
+    x = value_l.reshape(b, h, w, heads, dim).transpose(0, 3, 1, 2, 4)
+    x = x.reshape(b * heads, h, w, dim)
+    kern = jnp.asarray(_pack_kernel(dim, value_l.dtype))
     out = jax.lax.conv_general_dilated(
         x, kern, window_strides=(1, 1), padding=((1, 1), (1, 1)),
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-        feature_group_count=heads,
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=out_dtype)
-    out = out.reshape(b, (h + 1) * (w + 1), heads, 4 * dim)
-    return out.transpose(0, 2, 1, 3)
+    return out.reshape(b, heads, (h + 1) * (w + 1), 4 * dim)
 
 
 def _level_sample_packed(packed: jnp.ndarray, loc: jnp.ndarray,
@@ -481,7 +480,13 @@ def pack_raw_levels(value, spatial_shapes):
     out = []
     for vl, (h, w) in zip(_split_levels(aug, spatial_shapes), spatial_shapes):
         pk = _pack_corners(vl, h, w)  # [B, 1, rows, 4*(C+1)]
-        out.append(pk.reshape(b, (h + 1) * (w + 1), 4 * (c + 1)))
+        pk = pk.reshape(b, (h + 1) * (w + 1), 4 * (c + 1))
+        # pad rows to the kernel's sublane multiple HERE (frame-constant)
+        # so the per-layer fold output needs no pad pass
+        rpad = (-pk.shape[1]) % 8
+        if rpad:
+            pk = jnp.pad(pk, ((0, 0), (0, rpad), (0, 0)))
+        out.append(pk)
     return tuple(out)
 
 
@@ -521,20 +526,19 @@ def tables_from_packed_raw(packed_raw, kernel, bias, heads,
     tables, table_rows = [], []
     for pr in packed_raw:
         b, rows, _ = pr.shape
+        assert rows % 8 == 0, 'pack_raw_levels pads rows to 8'
         out = jnp.dot(pr, w2.astype(pr.dtype), precision=prec,
                       preferred_element_type=jnp.float32)
         if round_dtype is not None and round_dtype != jnp.float32:
             # match the reference path's Dense(dtype=bf16) output rounding
             out = out.astype(round_dtype)
         out = out.astype(jnp.float32)
-        out = out.reshape(b, rows, heads, 4 * DIM_TABLE)
-        out = out.transpose(0, 2, 1, 3).reshape(b * heads, rows,
-                                                4 * DIM_TABLE)
-        rpad = (-rows) % 8
-        if rpad:
-            out = jnp.pad(out, ((0, 0), (0, rpad), (0, 0)))
-        tables.append(out)
-        table_rows.append(out.shape[1])
+        # keep the dot's NATURAL head-minor layout [B, rows, heads, 4*DIM]:
+        # the fused kernel DMAs a strided per-(b, head) slice, so the old
+        # head-major transpose (two extra HBM passes over the ~770 MB
+        # 4x-expanded f32 SCA tables, per layer) is gone.
+        tables.append(out.reshape(b, rows, heads, 4 * DIM_TABLE))
+        table_rows.append(rows)
     return tuple(tables), tuple(table_rows)
 
 
@@ -627,7 +631,11 @@ def _msda_tables_bwd(spatial_shapes, table_rows, res, g):
         start = 0
         for i, (lvl, a, bcol) in enumerate(entries):
             rows_l = table_rows[lvl]
-            dtab[lvl] = dtab[lvl] + datlas[:, start:start + rows_l]
+            # datlas is flat [B*H, rows, 128]; tables are head-minor
+            # [B, rows, H, 128] (transpose only here, on the train path)
+            dt = datlas[:, start:start + rows_l].reshape(
+                b, heads, rows_l, 4 * dim).transpose(0, 2, 1, 3)
+            dtab[lvl] = dtab[lvl] + dt
             start += rows_l
             # whole-level entries: no column-chunk masking needed
             dwx_l[lvl] = dwx_l[lvl] + dwx[:, :, :, i]

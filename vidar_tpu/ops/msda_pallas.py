@@ -134,12 +134,16 @@ def _gather_chunk(table, idx_ref, q0, s0, sc, qt=QT):
     return jnp.concatenate(qrows, axis=0)
 
 
-def _fused_kernel(qt, idx_ref, wx_ref, wy_ref, aw_ref, atlas_ref, out_ref,
-                  table, cwbuf, sem):
+def _fused_kernel(qt, heads, idx_ref, wx_ref, wy_ref, aw_ref, atlas_ref,
+                  out_ref, table, cwbuf, sem):
     """One (c, q-block) grid step; see module docstring for layouts.
     ``qt`` queries per inner tile — raised above QT for small S so the
     fixed per-tile cost (MXU weight expansion, loop overhead) amortizes
-    over more gather rows."""
+    over more gather rows. ``heads``: 0 for a flat [C, R, 128] atlas;
+    otherwise the atlas is [B, R, heads, 128] (the natural layout of the
+    hoisted-tables fold matmul) and table c is the strided slice
+    ``atlas[c // heads, :, c % heads]`` — the DMA engine eats the stride,
+    saving the fold a head-major transpose of the 4x-expanded rows."""
     c = pl.program_id(0)
     qb = pl.program_id(1)
     s = wx_ref.shape[2]
@@ -149,7 +153,9 @@ def _fused_kernel(qt, idx_ref, wx_ref, wy_ref, aw_ref, atlas_ref, out_ref,
     # of its query blocks (the grid iterates q fastest, sequentially).
     @pl.when(qb == 0)
     def _():
-        cp = pltpu.make_async_copy(atlas_ref.at[c], table, sem)
+        src = (atlas_ref.at[c] if heads == 0
+               else atlas_ref.at[c // heads, :, c % heads])
+        cp = pltpu.make_async_copy(src, table, sem)
         cp.start()
         cp.wait()
 
@@ -187,7 +193,12 @@ def msda_gather_fused(atlas: jnp.ndarray, row_idx: jnp.ndarray,
     [C, Q, S] f32 bilinear fractions + masked attention weight; corner
     weights are expanded IN-KERNEL once per q-block (``_cw4_block``).
     """
-    c, r, lanes = atlas.shape
+    if atlas.ndim == 4:
+        b4, r, heads, lanes = atlas.shape
+        c = b4 * heads
+    else:
+        c, r, lanes = atlas.shape
+        heads = 0
     assert atlas.dtype == jnp.float32 and lanes == 4 * DIM
     _, q, s = row_idx.shape
     qt = 32 if s <= 8 else 16
@@ -197,7 +208,7 @@ def msda_gather_fused(atlas: jnp.ndarray, row_idx: jnp.ndarray,
     qspec = pl.BlockSpec((1, q_block, s), lambda ci, qi: (ci, qi, 0),
                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_fused_kernel, qt),
+        functools.partial(_fused_kernel, qt, heads),
         grid=(c, q // q_block),
         in_specs=[
             pl.BlockSpec((1, q_block, s), lambda ci, qi: (ci, qi, 0),
@@ -355,8 +366,8 @@ def _dout_rep_mat(sc):
     return (l_ids % DIM == d_ids).astype(jnp.float32)
 
 
-def _bwd_weights_kernel(idx_ref, wx_ref, wy_ref, aw_ref, dout_ref, atlas_ref,
-                        dwx_ref, dwy_ref, daw_ref, table, sem):
+def _bwd_weights_kernel(heads, idx_ref, wx_ref, wy_ref, aw_ref, dout_ref,
+                        atlas_ref, dwx_ref, dwy_ref, daw_ref, table, sem):
     """Backward pass 1: fraction/attention-weight grads (table resident).
 
     For sample s of query q with corner values g_c and t_c = <dout_q, g_c>:
@@ -371,7 +382,9 @@ def _bwd_weights_kernel(idx_ref, wx_ref, wy_ref, aw_ref, dout_ref, atlas_ref,
 
     @pl.when(qb == 0)
     def _():
-        cp = pltpu.make_async_copy(atlas_ref.at[c], table, sem)
+        src = (atlas_ref.at[c] if heads == 0
+               else atlas_ref.at[c // heads, :, c % heads])
+        cp = pltpu.make_async_copy(src, table, sem)
         cp.start()
         cp.wait()
 
@@ -477,10 +490,15 @@ def msda_gather_fused_bwd(atlas: jnp.ndarray, row_idx: jnp.ndarray,
                           interpret: bool = False):
     """Backward of ``msda_gather_fused``.
 
-    dout: [C, Q, DIM] f32. Returns (datlas [C, R, 128], dwx1, dwy1, daw
-    each [C, Q, S] f32).
+    dout: [C, Q, DIM] f32. Returns (datlas [C, R, 128] — always flat, even
+    for a 4D head-minor atlas — plus dwx1, dwy1, daw each [C, Q, S] f32).
     """
-    c, r, lanes = atlas.shape
+    if atlas.ndim == 4:
+        b4, r, heads, lanes = atlas.shape
+        c = b4 * heads
+    else:
+        c, r, lanes = atlas.shape
+        heads = 0
     assert atlas.dtype == jnp.float32 and lanes == 4 * DIM
     _, q, s = row_idx.shape
     assert q % q_block == 0 and q_block % QT == 0
@@ -493,7 +511,7 @@ def msda_gather_fused_bwd(atlas: jnp.ndarray, row_idx: jnp.ndarray,
                          memory_space=pltpu.VMEM)
 
     dwx, dwy, daw = pl.pallas_call(
-        _bwd_weights_kernel,
+        functools.partial(_bwd_weights_kernel, heads),
         grid=(c, q // q_block),
         in_specs=[ispec, qspec, qspec, qspec, dspec,
                   pl.BlockSpec(memory_space=pltpu.ANY)],
