@@ -182,11 +182,12 @@ def _fused_kernel(qt, heads, idx_ref, wx_ref, wy_ref, aw_ref, atlas_ref,
     jax.lax.fori_loop(0, q_blk // qt, tile, 0)
 
 
-@functools.partial(jax.jit, static_argnames=('q_block', 'interpret'))
+@functools.partial(jax.jit, static_argnames=('q_block', 'interpret', 'qt'))
 def msda_gather_fused(atlas: jnp.ndarray, row_idx: jnp.ndarray,
                       wx1: jnp.ndarray, wy1: jnp.ndarray, aw: jnp.ndarray,
                       q_block: int = 256,
-                      interpret: bool = False) -> jnp.ndarray:
+                      interpret: bool = False,
+                      qt: int | None = None) -> jnp.ndarray:
     """Fused packed-corner gather + bilinear/attention reduce -> [C, Q, DIM].
 
     See the module docstring for the layout contract. ``wx1/wy1/aw``:
@@ -201,7 +202,8 @@ def msda_gather_fused(atlas: jnp.ndarray, row_idx: jnp.ndarray,
         heads = 0
     assert atlas.dtype == jnp.float32 and lanes == 4 * DIM
     _, q, s = row_idx.shape
-    qt = 32 if s <= 8 else 16
+    if qt is None:
+        qt = 32 if s <= 8 else 16
     assert q % q_block == 0 and q_block % qt == 0
     assert wx1.shape == wy1.shape == aw.shape == (c, q, s)
 
@@ -309,11 +311,12 @@ def pack_atlas16(atlas: jnp.ndarray) -> jnp.ndarray:
     return word
 
 
-@functools.partial(jax.jit, static_argnames=('q_block', 'interpret'))
+@functools.partial(jax.jit, static_argnames=('q_block', 'interpret', 'qt'))
 def msda_gather_fused16(atlas16: jnp.ndarray, row_idx: jnp.ndarray,
                         wx1: jnp.ndarray, wy1: jnp.ndarray, aw: jnp.ndarray,
                         q_block: int = 256,
-                        interpret: bool = False) -> jnp.ndarray:
+                        interpret: bool = False,
+                        qt: int | None = None) -> jnp.ndarray:
     """Fused gather+reduce over a row-pair-packed uint32 table.
 
     Same contract as ``msda_gather_fused`` with ``atlas16 =
@@ -322,7 +325,8 @@ def msda_gather_fused16(atlas16: jnp.ndarray, row_idx: jnp.ndarray,
     c, rp, lanes = atlas16.shape
     assert atlas16.dtype == jnp.uint32 and lanes == 4 * DIM
     _, q, s = row_idx.shape
-    qt = 32 if s <= 8 else 16
+    if qt is None:
+        qt = 32 if s <= 8 else 16
     assert q % q_block == 0 and q_block % qt == 0
     assert wx1.shape == wy1.shape == aw.shape == (c, q, s)
 
