@@ -39,10 +39,11 @@ def make(c, rows, q, s, seed=0):
     rng = np.random.default_rng(seed)
     rows8 = rows + (-rows) % 8
     atlas = jnp.asarray(rng.normal(size=(c, rows8, 128)).astype(np.float32))
-    row = jnp.asarray(rng.integers(0, rows, (c, q, s)).astype(np.int32))
-    wx = jnp.asarray(rng.uniform(0, 1, (c, q, s)).astype(np.float32))
-    wy = jnp.asarray(rng.uniform(0, 1, (c, q, s)).astype(np.float32))
-    aw = jnp.asarray(rng.uniform(0, 1, (c, q, s)).astype(np.float32))
+    # sample-major [C, S, Q] layout (see ops/msda_pallas.py contract)
+    row = jnp.asarray(rng.integers(0, rows, (c, s, q)).astype(np.int32))
+    wx = jnp.asarray(rng.uniform(0, 1, (c, s, q)).astype(np.float32))
+    wy = jnp.asarray(rng.uniform(0, 1, (c, s, q)).astype(np.float32))
+    aw = jnp.asarray(rng.uniform(0, 1, (c, s, q)).astype(np.float32))
     return atlas, row, wx, wy, aw
 
 

@@ -53,10 +53,11 @@ def main():
 
     def kshape(c, q, s, r, label):
         atlas = jax.random.normal(key, (c, r, 128), jnp.float32)
-        idx = jax.random.randint(key, (c, q, s), 0, r, jnp.int32)
-        wx = jax.random.uniform(key, (c, q, s), jnp.float32)
-        wy = jax.random.uniform(key, (c, q, s), jnp.float32)
-        aw = jax.random.uniform(key, (c, q, s), jnp.float32)
+        # sample-major [C, S, Q] layout (see ops/msda_pallas.py)
+        idx = jax.random.randint(key, (c, s, q), 0, r, jnp.int32)
+        wx = jax.random.uniform(key, (c, s, q), jnp.float32)
+        wy = jax.random.uniform(key, (c, s, q), jnp.float32)
+        aw = jax.random.uniform(key, (c, s, q), jnp.float32)
         rows = c * q * s
         if r * 128 * 4 <= 16_000_000:   # f32 table must fit scoped VMEM
             f32 = jax.jit(partial(msda_gather_fused, q_block=256))

@@ -40,10 +40,11 @@ def main():
 
     def run(c, q, s, r, label, q_block=256):
         atlas = jax.random.normal(key, (c, r, 4 * DIM), jnp.float32)
-        idx = jax.random.randint(key, (c, q, s), 0, r, jnp.int32)
-        wx = jax.random.uniform(key, (c, q, s), jnp.float32)
-        wy = jax.random.uniform(key, (c, q, s), jnp.float32)
-        aw = jax.random.uniform(key, (c, q, s), jnp.float32)
+        # sample-major [C, S, Q] layout (see ops/msda_pallas.py contract)
+        idx = jax.random.randint(key, (c, s, q), 0, r, jnp.int32)
+        wx = jax.random.uniform(key, (c, s, q), jnp.float32)
+        wy = jax.random.uniform(key, (c, s, q), jnp.float32)
+        aw = jax.random.uniform(key, (c, s, q), jnp.float32)
         f = jax.jit(partial(msda_gather_fused, q_block=q_block))
         t = bench(f, atlas, idx, wx, wy, aw) - ovh
         rows = c * q * s

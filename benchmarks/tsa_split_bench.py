@@ -80,9 +80,10 @@ def main():
     # kernel only: prebuilt u16 full table
     atlas16 = jax.jit(pack_only)(value)
     q_pad = 256 * ((nq + 255) // 256)
-    idx = jax.random.randint(key, (c2 * heads, q_pad, 4), 0,
+    # sample-major [C, S, Q] layout (see ops/msda_pallas.py)
+    idx = jax.random.randint(key, (c2 * heads, 4, q_pad), 0,
                              (bev_h + 1) * (bev_w + 1), jnp.int32)
-    wx = jax.random.uniform(key, (c2 * heads, q_pad, 4), jnp.float32)
+    wx = jax.random.uniform(key, (c2 * heads, 4, q_pad), jnp.float32)
     loop_time('TSA kernel only (u16 full table)',
               lambda wx, a, i: msda_gather_fused16(a, i, wx, wx, wx),
               wx, atlas16, idx)
@@ -116,8 +117,8 @@ def main():
 
     def prep_kernel_glue(l, w):
         out = prep_kernel(l, w)
-        dim = out.shape[-1]
-        out = out[:, :nq].reshape(c2, heads, nq, dim).transpose(0, 2, 1, 3)
+        dim = out.shape[1]
+        out = out[:, :, :nq].reshape(c2, heads, dim, nq).transpose(0, 3, 1, 2)
         return out.reshape(c2, nq, heads * dim).astype(dt)
 
     loop_time('prep+kernel+out-glue (loc-perturbed)', prep_kernel_glue,

@@ -442,7 +442,8 @@ def dcn_sample16(x, sx, sy, mask):
     x [B,H,W,C] (bf16-representable values), sx/sy/mask [B,Q,S] ->
     [B, Q, S*C] f32 taps with per-tap channels ordered (evens || odds)
     (fold ``dcn16_channel_perm`` into the consuming conv kernel).
-    Pallas forward; backward recomputes through the XLA reference.
+    Pallas forward; backward is a hand-rolled q-chunked recomputation
+    (``_dcn_sample16_vbwd``).
     """
     return _dcn_sample16_fwd_impl(x, sx, sy, mask)
 
@@ -451,10 +452,104 @@ def _dcn_sample16_vfwd(x, sx, sy, mask):
     return dcn_sample16(x, sx, sy, mask), (x, sx, sy, mask)
 
 
-def _dcn_sample16_vbwd(res, g):
+def _dcn_sample16_vbwd(res, g, q_chunk=512):
+    """Hand-rolled chunked backward (same math as ``jax.vjp`` of
+    ``_dcn_sample16_ref_perm``, which this replaces).
+
+    The autodiff formulation materialized the full gathered-corner tensor
+    in f32 — [6, 52200, 4, 256] = 1.28 GB at RN101 stage-3 flagship shapes,
+    plus a same-sized corner-gradient tensor: the #2 contributor to the
+    flagship train-step OOM. This version scans over ``q_chunk``-query
+    slices (~113 MB of f32 transients per chunk), accumulating the packed
+    corner-table gradient as the scan carry and emitting per-chunk
+    mask/corner-weight gradients; the work (gather rows, scatter adds,
+    FLOPs) is identical — only the liveness changes.
+    """
+    from vidar_tpu.ops.gather import pack_corners_2d, bilinear_weights
+    import numpy as np
     x, sx, sy, mask = res
-    _, vjp = jax.vjp(_dcn_sample16_ref_perm, x, sx, sy, mask)
-    return vjp(g)
+    b, h, w, c = x.shape
+    _, q, s = sx.shape
+
+    inv = np.argsort(dcn16_channel_perm(c))
+    dtaps = g.reshape(b, q, s, c)[..., jnp.asarray(inv, jnp.int32)]
+
+    packed = pack_corners_2d(x.astype(jnp.bfloat16))   # [b, rows, 4c]
+    rows = packed.shape[1]
+    flat = packed.reshape(b * rows, 4 * c)
+
+    sxf = sx.astype(jnp.float32)
+    syf = sy.astype(jnp.float32)
+    row, cw = bilinear_weights(sxf.reshape(b, -1), syf.reshape(b, -1), h, w)
+    offs = (jnp.arange(b, dtype=jnp.int32) * rows)[:, None]
+    row = (row + offs).reshape(b, q, s)
+    cw = cw.reshape(b, q, s, 4)
+
+    qc = min(q_chunk, q)
+    nch = -(-q // qc)
+    qp = nch * qc
+
+    def padq(a):
+        return (a if qp == q
+                else jnp.pad(a, ((0, 0), (0, qp - q)) +
+                             ((0, 0),) * (a.ndim - 2)))
+
+    # [b, qp, ...] -> [nch, b, qc, ...] scan slices
+    def chunked(a):
+        a = padq(a)
+        return jnp.moveaxis(
+            a.reshape(b, nch, qc, *a.shape[2:]), 1, 0)
+
+    xs = (chunked(row), chunked(cw), chunked(mask.astype(jnp.float32)),
+          chunked(dtaps))
+
+    def body(dpk, xs):
+        row_c, cw_c, mask_c, dt_c = xs
+        n = qc * s
+        gcf = jnp.take(flat, row_c.reshape(-1), axis=0).reshape(
+            b, n, 4, c).astype(jnp.float32)
+        dt = dt_c.reshape(b, n, c).astype(jnp.float32)
+        cw_n = cw_c.reshape(b, n, 4)
+        samp = jnp.einsum('bncd,bnc->bnd', gcf, cw_n)     # pre-mask sample
+        dmask_c = (dt * samp).sum(-1).reshape(b, qc, s)
+        dout_e = dt * mask_c.reshape(b, n, 1)
+        dcw_c = jnp.einsum('bncd,bnd->bnc', gcf, dout_e)
+        dgc = cw_n[..., None] * dout_e[:, :, None, :]     # [b, n, 4, c]
+        dpk = dpk.at[row_c.reshape(-1)].add(
+            dgc.reshape(b * n, 4 * c))
+        return dpk, (dmask_c, dcw_c.reshape(b, qc, s, 4))
+
+    dpk0 = jnp.zeros((b * rows, 4 * c), jnp.float32)
+    dpk, (dmask_ch, dcw_ch) = jax.lax.scan(body, dpk0, xs)
+    dmask = jnp.moveaxis(dmask_ch, 0, 1).reshape(b, qp, s)[:, :q]
+    dcw = jnp.moveaxis(dcw_ch, 0, 1).reshape(b, qp, s, 4)[:, :q]
+
+    # adjoint of pack_corners_2d: shift-add the 4 corner channel groups
+    dp = dpk.reshape(b, h + 1, w + 1, 4 * c)
+    dvp = jnp.zeros((b, h + 2, w + 2, c), jnp.float32)
+    dvp = dvp.at[:, :-1, :-1].add(dp[..., :c])
+    dvp = dvp.at[:, :-1, 1:].add(dp[..., c:2 * c])
+    dvp = dvp.at[:, 1:, :-1].add(dp[..., 2 * c:3 * c])
+    dvp = dvp.at[:, 1:, 1:].add(dp[..., 3 * c:])
+    dx = dvp[:, 1:-1, 1:-1].astype(x.dtype)
+
+    # adjoint of the bilinear corner weights (cw included `valid`)
+    x0 = jnp.floor(sxf)
+    y0 = jnp.floor(syf)
+    wx1 = sxf - x0
+    wy1 = syf - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+    ix0 = x0.astype(jnp.int32)
+    iy0 = y0.astype(jnp.int32)
+    valid = ((iy0 >= -1) & (iy0 <= h - 1) & (ix0 >= -1) &
+             (ix0 <= w - 1)).astype(jnp.float32)
+    dcw = dcw * valid[..., None]
+    dsx = (wy0 * (dcw[..., 1] - dcw[..., 0]) +
+           wy1 * (dcw[..., 3] - dcw[..., 2])).astype(sx.dtype)
+    dsy = (wx0 * (dcw[..., 2] - dcw[..., 0]) +
+           wx1 * (dcw[..., 3] - dcw[..., 1])).astype(sy.dtype)
+    return dx, dsx, dsy, dmask.astype(mask.dtype)
 
 
 dcn_sample16.defvjp(_dcn_sample16_vfwd, _dcn_sample16_vbwd)

@@ -372,10 +372,12 @@ def _prep_group(packed_cache, spatial_shapes, loc, weights, entries,
                    (valid & in_chunk).astype(jnp.float32))
         base += (h + 1) * wc
 
-    # [b, q, heads, E, p] -> [b*heads, q, E*p] (query-major samples)
+    # [b, q, heads, E, p] -> [b*heads, E*p, q] (sample-major: queries ride
+    # the 128-lane dim — the query-major [C, Q, S] layout tile-padded S to
+    # 128 lanes, 5-16x the useful HBM footprint per buffer)
     def to_cqs(xs):
         v = jnp.stack(xs, axis=3)
-        return v.transpose(0, 2, 1, 3, 4).reshape(b * heads, q, -1)
+        return v.transpose(0, 2, 3, 4, 1).reshape(b * heads, -1, q)
 
     row_idx = to_cqs(rows)
     wx1 = to_cqs(wxs)
@@ -384,10 +386,10 @@ def _prep_group(packed_cache, spatial_shapes, loc, weights, entries,
 
     pad = (-q) % q_block
     if pad:
-        row_idx = jnp.pad(row_idx, ((0, 0), (0, pad), (0, 0)))
-        wx1 = jnp.pad(wx1, ((0, 0), (0, pad), (0, 0)))
-        wy1 = jnp.pad(wy1, ((0, 0), (0, pad), (0, 0)))
-        aw = jnp.pad(aw, ((0, 0), (0, pad), (0, 0)))
+        row_idx = jnp.pad(row_idx, ((0, 0), (0, 0), (0, pad)))
+        wx1 = jnp.pad(wx1, ((0, 0), (0, 0), (0, pad)))
+        wy1 = jnp.pad(wy1, ((0, 0), (0, 0), (0, pad)))
+        aw = jnp.pad(aw, ((0, 0), (0, 0), (0, pad)))
     atlas = jnp.concatenate(tables, axis=2)
     atlas = atlas.reshape(b * heads, atlas.shape[2], atlas.shape[-1])
     # pad table rows to a sublane multiple: a partial-tile HBM->VMEM DMA
@@ -409,9 +411,10 @@ def _prep_group_fwd(tables, table_rows, spatial_shapes, loc, weights,
     the pre-padded tables (no extra pad pass — the old path re-padded the
     ~0.6 GB SCA atlas per call).
 
-    Returns (atlas [C, R, 128], row_idx [C, Qp, S], wx1/wy1/aw [C, Qp, S]
-    — the q-padded fractions both the forward (in-kernel corner-weight
-    expansion) and backward kernels consume).
+    Returns (atlas [C, R, 128], row_idx [C, S, Qp], wx1/wy1/aw [C, S, Qp]
+    — the q-padded SAMPLE-MAJOR fractions both the forward (in-kernel
+    corner-weight expansion) and backward kernels consume; queries on the
+    128-lane dim so the buffers are tile-pad-free).
     """
     b, q, heads = loc.shape[:3]
     rows, aws, wxs, wys = [], [], [], []
@@ -437,7 +440,7 @@ def _prep_group_fwd(tables, table_rows, spatial_shapes, loc, weights,
 
     def to_cqs(xs):
         v = jnp.stack(xs, axis=3)
-        return v.transpose(0, 2, 1, 3, 4).reshape(b * heads, q, -1)
+        return v.transpose(0, 2, 3, 4, 1).reshape(b * heads, -1, q)
 
     row_idx = to_cqs(rows).astype(jnp.int32)
     wx1 = to_cqs(wxs)
@@ -445,10 +448,10 @@ def _prep_group_fwd(tables, table_rows, spatial_shapes, loc, weights,
     aw = to_cqs(aws)
     pad = (-q) % q_block
     if pad:
-        row_idx = jnp.pad(row_idx, ((0, 0), (0, pad), (0, 0)))
-        wx1 = jnp.pad(wx1, ((0, 0), (0, pad), (0, 0)))
-        wy1 = jnp.pad(wy1, ((0, 0), (0, pad), (0, 0)))
-        aw = jnp.pad(aw, ((0, 0), (0, pad), (0, 0)))
+        row_idx = jnp.pad(row_idx, ((0, 0), (0, 0), (0, pad)))
+        wx1 = jnp.pad(wx1, ((0, 0), (0, 0), (0, pad)))
+        wy1 = jnp.pad(wy1, ((0, 0), (0, 0), (0, pad)))
+        aw = jnp.pad(aw, ((0, 0), (0, 0), (0, pad)))
     lvls = [e[0] for e in entries]
     atlas = (tables[lvls[0]] if len(lvls) == 1
              else jnp.concatenate([tables[lv] for lv in lvls], axis=1))
@@ -579,8 +582,8 @@ def _msda_tables_fwd_impl(spatial_shapes, table_rows, tables, loc, weights,
         part = msda_gather_fused(atlas, row_idx, wx1, wy1, aw,
                                  q_block=q_block, interpret=interpret)
         out = part if out is None else out + part
-    dim = out.shape[-1]
-    out = out[:, :q].reshape(b, heads, q, dim).transpose(0, 2, 1, 3)
+    dim = out.shape[1]
+    out = out[:, :, :q].reshape(b, heads, dim, q).transpose(0, 3, 1, 2)
     return out.reshape(b, q, heads * dim)
 
 
@@ -599,10 +602,10 @@ def _msda_tables_bwd(spatial_shapes, table_rows, res, g):
     groups = _fused_plan(spatial_shapes, packed16=False)
     interpret = jax.default_backend() == 'cpu'
 
-    dout = g.reshape(b, q, heads, dim).transpose(0, 2, 1, 3).reshape(
-        b * heads, q, dim).astype(jnp.float32)
+    dout = g.reshape(b, q, heads, dim).transpose(0, 2, 3, 1).reshape(
+        b * heads, dim, q).astype(jnp.float32)
     if qp != q:
-        dout = jnp.pad(dout, ((0, 0), (0, qp - q), (0, 0)))
+        dout = jnp.pad(dout, ((0, 0), (0, 0), (0, qp - q)))
 
     dtab = [jnp.zeros(t.shape, jnp.float32) for t in tables]
     zeros_q = jnp.zeros((b, q, heads, p), jnp.float32)
@@ -621,8 +624,8 @@ def _msda_tables_bwd(spatial_shapes, table_rows, res, g):
         ecount = len(entries)
 
         def to_bqhep(x, ecount=ecount):
-            return x[:, :q].reshape(b, heads, q, ecount, p).transpose(
-                0, 2, 1, 3, 4)
+            return x[:, :, :q].reshape(b, heads, ecount, p, q).transpose(
+                0, 4, 1, 2, 3)
 
         dwx = to_bqhep(dwx)
         dwy = to_bqhep(dwy)
@@ -765,8 +768,8 @@ def _msda_fused_fwd_impl(value_levels, spatial_shapes, loc, weights,
                                          q_block=q_block,
                                          interpret=interpret)
             out = part if out is None else out + part
-    dim = out.shape[-1]
-    out = out[:, :q].reshape(b, heads, q, dim).transpose(0, 2, 1, 3)
+    dim = out.shape[1]
+    out = out[:, :, :q].reshape(b, heads, dim, q).transpose(0, 3, 1, 2)
     return out.reshape(b, q, heads * dim)
 
 
@@ -837,10 +840,10 @@ def _msda_fused_bwd(spatial_shapes, res, g):
     cache = _packed_cache(value_levels, spatial_shapes,
                           {e[0] for gr in groups for e in gr})
 
-    dout = g.reshape(b, q, heads, dim).transpose(0, 2, 1, 3).reshape(
-        b * heads, q, dim).astype(jnp.float32)
+    dout = g.reshape(b, q, heads, dim).transpose(0, 2, 3, 1).reshape(
+        b * heads, dim, q).astype(jnp.float32)
     if qp != q:
-        dout = jnp.pad(dout, ((0, 0), (0, qp - q), (0, 0)))
+        dout = jnp.pad(dout, ((0, 0), (0, 0), (0, qp - q)))
 
     # accumulators: packed-table grads per level, per-level dwx/dwy/daw
     dpk = {lvl: jnp.zeros(cache[lvl].shape, jnp.float32) for lvl in cache}
@@ -857,10 +860,10 @@ def _msda_fused_bwd(spatial_shapes, res, g):
             q_block=q_block, interpret=interpret)
 
         ecount = len(entries)
-        # [C, Qp, E*p] -> [b, q, heads, E, p]
+        # [C, E*p, Qp] -> [b, q, heads, E, p]
         def to_bqhep(x, ecount=ecount):
-            return x[:, :q].reshape(b, heads, q, ecount, p).transpose(
-                0, 2, 1, 3, 4)
+            return x[:, :, :q].reshape(b, heads, ecount, p, q).transpose(
+                0, 4, 1, 2, 3)
 
         dwx = to_bqhep(dwx)
         dwy = to_bqhep(dwy)

@@ -34,14 +34,24 @@ Layout contract (prepared by ``ops.msda`` when ``impl='fused'``):
 - ``atlas``: ``[C, R, 128]`` f32 packed corner tables (zero ring, the
   group's level tables concatenated along rows; rows padded to 8), one per
   (batch, head) pair; rows are ``4*dim`` = 128 lanes (dim 32).
-- ``row_idx``: ``[C, Q, S]`` int32 row into the per-C table (group-local
+- ``row_idx``: ``[C, S, Q]`` int32 row into the per-C table (group-local
   level bases folded in, clipped in-range), ``S`` = the group's samples
   per query (its levels × points).
-- ``wx1/wy1/aw``: ``[C, Q, S]`` f32 bilinear fractions and attention weight
+- ``wx1/wy1/aw``: ``[C, S, Q]`` f32 bilinear fractions and attention weight
   with out-of-map validity folded in. Corner weights (``[.., S*4]``
   sample-major corner-minor lanes ``[s0c0, s0c1, ..]``) are expanded
-  IN-KERNEL once per q-block (``_cw4_block``) — materializing them
+  IN-KERNEL once per q-block (``_cw4_block_t``) — materializing them
   host-side was the largest prep term (~10 ms + ~800 MB HBM per SCA call).
+- output / ``dout``: ``[C, DIM, Q]``.
+
+Every per-query array is SAMPLE-MAJOR (queries on lanes): Q is a q_block
+multiple (so lanes are 128-clean) while S is 4..32 — the query-major
+``[C, Q, S]`` layout of rounds 1-3 tile-padded S to 128 lanes, costing
+5-16x the useful HBM footprint/traffic per buffer (348 MB per SCA buffer;
+the #1 contributor to the flagship train-step OOM). The kernel working
+tiles stay query-major: blocks are transposed in-VMEM with exact 0/1
+identity matmuls on the MXU (single-product rows at HIGHEST precision —
+bit-exact, ~4 MFLOP per 256-query block, noise next to the gather).
 
 Reference semantics: mmcv ``ms_deform_attn_forward`` (see ops/msda.py
 docstring; reference projects/mmdet3d_plugin/bevformer/modules/
@@ -98,36 +108,59 @@ def _cw4_mats_kernel(s):
     return ex, bx, ey, by, ea
 
 
-def _cw4_block(wx, wy, aw, mats):
-    """[q_blk, s] fractions -> [q_blk, 4*s] corner weights, bit-matching the
-    host-side ``ops.msda._cw4_from_fractions`` (same op order/precision).
+def _ident(n):
+    """[n, n] f32 identity (0/1 iota compare — TPU needs 2D iota)."""
+    a = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    b = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (a == b).astype(jnp.float32)
+
+
+_DN0 = (((0,), (0,)), ((), ()))   # contract dim 0 of both operands
+
+
+def _t(x):
+    """Exact MXU transpose: [a, b] -> [b, a] via a 0/1 identity contraction
+    (single-product outputs at HIGHEST — bit-exact for f32; Mosaic has no
+    sublane<->lane relayout, and this costs ~a*a*b MACs, noise next to the
+    gather loop)."""
+    return jax.lax.dot_general(x, _ident(x.shape[0]), dimension_numbers=_DN0,
+                               preferred_element_type=jnp.float32,
+                               precision=_HI)
+
+
+def _cw4_block_t(wx_t, wy_t, aw_t, mats):
+    """[s, q_blk] fractions -> [q_blk, 4*s] corner weights, value-matching
+    the host-side ``ops.msda._cw4_from_fractions`` (same multiply order;
+    every matmul output element is a single product at HIGHEST — exact).
 
     Computed ONCE per (c, q-block) grid step and staged through a VMEM
     scratch (Mosaic cannot dynamic-slice registers): in-kernel expansion
     measured kernel-time-neutral at every production shape while deleting
     the [C, Q, 4S] host-side cw4 stage — the largest prep term (~10 ms and
-    ~800 MB of HBM round-trip per SCA call; benchmarks/cw_variants_bench.py.
-    Per-TILE expansion was 2x worse: 3 small HIGHEST matmuls per tile
-    don't amortize)."""
+    ~800 MB of HBM round-trip per SCA call; benchmarks/cw_variants_bench.py).
+    Inputs arrive sample-major ([s, q]); contracting the s dim of BOTH
+    operands ([s,q] x [s,4s] -> [q,4s]) lands directly in the query-major
+    orientation the gather tiles consume — same matmul cost as the old
+    query-major expansion, no extra transpose."""
     ex, bx, ey, by, ea = mats
-    dn = (((1,), (0,)), ((), ()))
-    wyp = jax.lax.dot_general(wy, ey, dimension_numbers=dn,
+    wyp = jax.lax.dot_general(wy_t, ey, dimension_numbers=_DN0,
                               preferred_element_type=jnp.float32,
                               precision=_HI) + by
-    wxp = jax.lax.dot_general(wx, ex, dimension_numbers=dn,
+    wxp = jax.lax.dot_general(wx_t, ex, dimension_numbers=_DN0,
                               preferred_element_type=jnp.float32,
                               precision=_HI) + bx
-    awp = jax.lax.dot_general(aw, ea, dimension_numbers=dn,
+    awp = jax.lax.dot_general(aw_t, ea, dimension_numbers=_DN0,
                               preferred_element_type=jnp.float32,
                               precision=_HI)
     return (wyp * wxp) * awp
 
 
 def _gather_chunk(table, idx_ref, q0, s0, sc, qt=QT):
-    """[qt, sc*128] gathered rows, query-major, samples along lanes."""
+    """[qt, sc*128] gathered rows, query-major, samples along lanes.
+    ``idx_ref`` is sample-major ([1, S, Q] block)."""
     qrows = []
     for j in range(qt):
-        samples = [table[pl.ds(idx_ref[0, q0 + j, s0 + k], 1), :]
+        samples = [table[pl.ds(idx_ref[0, s0 + k, q0 + j], 1), :]
                    for k in range(sc)]
         qrows.append(samples[0] if sc == 1
                      else jnp.concatenate(samples, axis=1))
@@ -135,7 +168,7 @@ def _gather_chunk(table, idx_ref, q0, s0, sc, qt=QT):
 
 
 def _fused_kernel(qt, heads, idx_ref, wx_ref, wy_ref, aw_ref, atlas_ref,
-                  out_ref, table, cwbuf, sem):
+                  out_ref, table, cwbuf, accbuf, sem):
     """One (c, q-block) grid step; see module docstring for layouts.
     ``qt`` queries per inner tile — raised above QT for small S so the
     fixed per-tile cost (MXU weight expansion, loop overhead) amortizes
@@ -146,8 +179,8 @@ def _fused_kernel(qt, heads, idx_ref, wx_ref, wy_ref, aw_ref, atlas_ref,
     saving the fold a head-major transpose of the 4x-expanded rows."""
     c = pl.program_id(0)
     qb = pl.program_id(1)
-    s = wx_ref.shape[2]
-    q_blk = out_ref.shape[1]
+    s = wx_ref.shape[1]
+    q_blk = out_ref.shape[2]
 
     # Stage this C's packed table into VMEM once; it stays resident for all
     # of its query blocks (the grid iterates q fastest, sequentially).
@@ -160,8 +193,8 @@ def _fused_kernel(qt, heads, idx_ref, wx_ref, wy_ref, aw_ref, atlas_ref,
         cp.wait()
 
     emats = {sc: _expand_mat(sc) for _, sc in _chunks(s)}
-    cwbuf[:] = _cw4_block(wx_ref[0, :, :], wy_ref[0, :, :], aw_ref[0, :, :],
-                          _cw4_mats_kernel(s))
+    cwbuf[:] = _cw4_block_t(wx_ref[0, :, :], wy_ref[0, :, :],
+                            aw_ref[0, :, :], _cw4_mats_kernel(s))
 
     def tile(i, _):
         q0 = pl.multiple_of(i * qt, qt)
@@ -176,10 +209,11 @@ def _fused_kernel(qt, heads, idx_ref, wx_ref, wy_ref, aw_ref, atlas_ref,
             # sum the 4*sc 32-lane segments (samples AND corners)
             for b in range(4 * sc):
                 acc = acc + p[:, b * DIM:(b + 1) * DIM]
-        out_ref[0, pl.ds(q0, qt), :] = acc
+        accbuf[pl.ds(q0, qt), :] = acc
         return 0
 
     jax.lax.fori_loop(0, q_blk // qt, tile, 0)
+    out_ref[0, :, :] = _t(accbuf[:, :])      # [q_blk, DIM] -> [DIM, q_blk]
 
 
 @functools.partial(jax.jit, static_argnames=('q_block', 'interpret', 'qt'))
@@ -188,11 +222,11 @@ def msda_gather_fused(atlas: jnp.ndarray, row_idx: jnp.ndarray,
                       q_block: int = 256,
                       interpret: bool = False,
                       qt: int | None = None) -> jnp.ndarray:
-    """Fused packed-corner gather + bilinear/attention reduce -> [C, Q, DIM].
+    """Fused packed-corner gather + bilinear/attention reduce -> [C, DIM, Q].
 
     See the module docstring for the layout contract. ``wx1/wy1/aw``:
-    [C, Q, S] f32 bilinear fractions + masked attention weight; corner
-    weights are expanded IN-KERNEL once per q-block (``_cw4_block``).
+    [C, S, Q] f32 bilinear fractions + masked attention weight; corner
+    weights are expanded IN-KERNEL once per q-block (``_cw4_block_t``).
     """
     if atlas.ndim == 4:
         b4, r, heads, lanes = atlas.shape
@@ -201,29 +235,30 @@ def msda_gather_fused(atlas: jnp.ndarray, row_idx: jnp.ndarray,
         c, r, lanes = atlas.shape
         heads = 0
     assert atlas.dtype == jnp.float32 and lanes == 4 * DIM
-    _, q, s = row_idx.shape
+    _, s, q = row_idx.shape
     if qt is None:
         qt = 32 if s <= 8 else 16
     assert q % q_block == 0 and q_block % qt == 0
-    assert wx1.shape == wy1.shape == aw.shape == (c, q, s)
+    assert wx1.shape == wy1.shape == aw.shape == (c, s, q)
 
-    qspec = pl.BlockSpec((1, q_block, s), lambda ci, qi: (ci, qi, 0),
+    qspec = pl.BlockSpec((1, s, q_block), lambda ci, qi: (ci, 0, qi),
                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_fused_kernel, qt, heads),
         grid=(c, q // q_block),
         in_specs=[
-            pl.BlockSpec((1, q_block, s), lambda ci, qi: (ci, qi, 0),
+            pl.BlockSpec((1, s, q_block), lambda ci, qi: (ci, 0, qi),
                          memory_space=pltpu.SMEM),
             qspec, qspec, qspec,
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, q_block, DIM), lambda ci, qi: (ci, qi, 0),
+        out_specs=pl.BlockSpec((1, DIM, q_block), lambda ci, qi: (ci, 0, qi),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((c, q, DIM), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((c, DIM, q), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((r, lanes), jnp.float32),
             pltpu.VMEM((q_block, 4 * s), jnp.float32),
+            pltpu.VMEM((q_block, DIM), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -244,7 +279,7 @@ def _gather_chunk16(table, idx_ref, q0, s0, sc, qt=QT):
     for j in range(qt):
         samples = []
         for k in range(sc):
-            r = idx_ref[0, q0 + j, s0 + k]
+            r = idx_ref[0, s0 + k, q0 + j]
             word = table[pl.ds(jax.lax.shift_right_logical(r, 1), 1), :]
             shift = ((r & 1) * 16).astype(jnp.uint32)
             y = jax.lax.shift_left(word, jnp.broadcast_to(shift, word.shape))
@@ -256,12 +291,12 @@ def _gather_chunk16(table, idx_ref, q0, s0, sc, qt=QT):
 
 
 def _fused16_kernel(qt, idx_ref, wx_ref, wy_ref, aw_ref, atlas_ref, out_ref,
-                    table, cwbuf, sem):
+                    table, cwbuf, accbuf, sem):
     """``_fused_kernel`` over a row-pair-packed uint32 table."""
     c = pl.program_id(0)
     qb = pl.program_id(1)
-    s = wx_ref.shape[2]
-    q_blk = out_ref.shape[1]
+    s = wx_ref.shape[1]
+    q_blk = out_ref.shape[2]
 
     @pl.when(qb == 0)
     def _():
@@ -270,8 +305,8 @@ def _fused16_kernel(qt, idx_ref, wx_ref, wy_ref, aw_ref, atlas_ref, out_ref,
         cp.wait()
 
     emats = {sc: _expand_mat(sc) for _, sc in _chunks(s)}
-    cwbuf[:] = _cw4_block(wx_ref[0, :, :], wy_ref[0, :, :], aw_ref[0, :, :],
-                          _cw4_mats_kernel(s))
+    cwbuf[:] = _cw4_block_t(wx_ref[0, :, :], wy_ref[0, :, :],
+                            aw_ref[0, :, :], _cw4_mats_kernel(s))
 
     def tile(i, _):
         q0 = pl.multiple_of(i * qt, qt)
@@ -285,10 +320,11 @@ def _fused16_kernel(qt, idx_ref, wx_ref, wy_ref, aw_ref, atlas_ref, out_ref,
             p = g * w_rep
             for b in range(4 * sc):
                 acc = acc + p[:, b * DIM:(b + 1) * DIM]
-        out_ref[0, pl.ds(q0, qt), :] = acc
+        accbuf[pl.ds(q0, qt), :] = acc
         return 0
 
     jax.lax.fori_loop(0, q_blk // qt, tile, 0)
+    out_ref[0, :, :] = _t(accbuf[:, :])
 
 
 def pack_atlas16(atlas: jnp.ndarray) -> jnp.ndarray:
@@ -324,29 +360,30 @@ def msda_gather_fused16(atlas16: jnp.ndarray, row_idx: jnp.ndarray,
     """
     c, rp, lanes = atlas16.shape
     assert atlas16.dtype == jnp.uint32 and lanes == 4 * DIM
-    _, q, s = row_idx.shape
+    _, s, q = row_idx.shape
     if qt is None:
         qt = 32 if s <= 8 else 16
     assert q % q_block == 0 and q_block % qt == 0
-    assert wx1.shape == wy1.shape == aw.shape == (c, q, s)
+    assert wx1.shape == wy1.shape == aw.shape == (c, s, q)
 
-    qspec = pl.BlockSpec((1, q_block, s), lambda ci, qi: (ci, qi, 0),
+    qspec = pl.BlockSpec((1, s, q_block), lambda ci, qi: (ci, 0, qi),
                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_fused16_kernel, qt),
         grid=(c, q // q_block),
         in_specs=[
-            pl.BlockSpec((1, q_block, s), lambda ci, qi: (ci, qi, 0),
+            pl.BlockSpec((1, s, q_block), lambda ci, qi: (ci, 0, qi),
                          memory_space=pltpu.SMEM),
             qspec, qspec, qspec,
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, q_block, DIM), lambda ci, qi: (ci, qi, 0),
+        out_specs=pl.BlockSpec((1, DIM, q_block), lambda ci, qi: (ci, 0, qi),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((c, q, DIM), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((c, DIM, q), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((rp, lanes), jnp.uint32),
             pltpu.VMEM((q_block, 4 * s), jnp.float32),
+            pltpu.VMEM((q_block, DIM), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -371,18 +408,23 @@ def _dout_rep_mat(sc):
 
 
 def _bwd_weights_kernel(heads, idx_ref, wx_ref, wy_ref, aw_ref, dout_ref,
-                        atlas_ref, dwx_ref, dwy_ref, daw_ref, table, sem):
+                        atlas_ref, dwx_ref, dwy_ref, daw_ref, table,
+                        fbuf, obuf, sem):
     """Backward pass 1: fraction/attention-weight grads (table resident).
 
     For sample s of query q with corner values g_c and t_c = <dout_q, g_c>:
       daw  = sum_c w4_c * t_c
       dwx1 = aw * (wy0*(t1-t0) + wy1*(t3-t2))
       dwy1 = aw * (wx0*(t2-t0) + wx1*(t3-t1))
+
+    Sample-major I/O ([C, S, Q] / [C, DIM, Q]); the block is transposed to
+    query-major working buffers (``fbuf``: wx|wy|aw|dout stacked along
+    lanes, ``obuf``: daw|dwx|dwy) with identity matmuls once per q-block.
     """
     c = pl.program_id(0)
     qb = pl.program_id(1)
-    s = wx_ref.shape[2]
-    q_blk = dout_ref.shape[1]
+    s = wx_ref.shape[1]
+    q_blk = dout_ref.shape[2]
 
     @pl.when(qb == 0)
     def _():
@@ -396,9 +438,14 @@ def _bwd_weights_kernel(heads, idx_ref, wx_ref, wy_ref, aw_ref, dout_ref,
     tmats = {sc: [_tsel_mat(sc, corner) for corner in range(4)]
              for _, sc in _chunks(s)}
 
+    # one fused transpose of the whole block: [3s+DIM, q] -> [q, 3s+DIM]
+    fbuf[:] = _t(jnp.concatenate(
+        [wx_ref[0, :, :], wy_ref[0, :, :], aw_ref[0, :, :],
+         dout_ref[0, :, :]], axis=0))
+
     def tile(i, _):
         q0 = pl.multiple_of(i * QT, QT)
-        dout_t = dout_ref[0, pl.ds(q0, QT), :]        # [QT, DIM]
+        dout_t = fbuf[pl.ds(q0, QT), 3 * s:]          # [QT, DIM]
         t4 = [[], [], [], []]
         for (s0, sc) in _chunks(s):
             g = _gather_chunk(table, idx_ref, q0, s0, sc)
@@ -416,37 +463,40 @@ def _bwd_weights_kernel(heads, idx_ref, wx_ref, wy_ref, aw_ref, dout_ref,
         t0, t1, t2, t3 = [x[0] if len(x) == 1 else jnp.concatenate(x, axis=1)
                           for x in t4]                # [QT, S]
 
-        wx1 = wx_ref[0, pl.ds(q0, QT), :]             # [QT, S]
-        wy1 = wy_ref[0, pl.ds(q0, QT), :]
-        aw = aw_ref[0, pl.ds(q0, QT), :]
+        wx1 = fbuf[pl.ds(q0, QT), 0:s]                # [QT, S]
+        wy1 = fbuf[pl.ds(q0, QT), s:2 * s]
+        aw = fbuf[pl.ds(q0, QT), 2 * s:3 * s]
         wx0 = 1.0 - wx1
         wy0 = 1.0 - wy1
-        daw_ref[0, pl.ds(q0, QT), :] = (wy0 * wx0 * t0 + wy0 * wx1 * t1 +
-                                        wy1 * wx0 * t2 + wy1 * wx1 * t3)
-        dwx_ref[0, pl.ds(q0, QT), :] = aw * (wy0 * (t1 - t0) +
-                                             wy1 * (t3 - t2))
-        dwy_ref[0, pl.ds(q0, QT), :] = aw * (wx0 * (t2 - t0) +
-                                             wx1 * (t3 - t1))
+        daw = (wy0 * wx0 * t0 + wy0 * wx1 * t1 +
+               wy1 * wx0 * t2 + wy1 * wx1 * t3)
+        dwx = aw * (wy0 * (t1 - t0) + wy1 * (t3 - t2))
+        dwy = aw * (wx0 * (t2 - t0) + wx1 * (t3 - t1))
+        obuf[pl.ds(q0, QT), :] = jnp.concatenate([daw, dwx, dwy], axis=1)
         return 0
 
     jax.lax.fori_loop(0, q_blk // QT, tile, 0)
+    # static LANE slices of the query-major buffer, one exact transpose each
+    daw_ref[0, :, :] = _t(obuf[:, 0:s])
+    dwx_ref[0, :, :] = _t(obuf[:, s:2 * s])
+    dwy_ref[0, :, :] = _t(obuf[:, 2 * s:3 * s])
 
 
 def _bwd_table_kernel(idx_ref, wx_ref, wy_ref, aw_ref, dout_ref, dtab_ref,
-                      acc, cwbuf, sem):
+                      acc, cwbuf, dbuf, sem):
     """Backward pass 2: table-gradient scatter.
 
     Row gradient of sample s is its corner-weight lanes times the query's
     dout: dtable[row_s] += cw4-expanded * dout-replicated (corner weights
     built in-kernel per q-block from the fractions, like the forward).
     Accumulated in a VMEM scratch (sequential, race-free) and DMA'd to HBM
-    after this table's last query block.
+    after this table's last query block. Sample-major I/O like pass 1.
     """
     qb = pl.program_id(1)
     n_qb = pl.num_programs(1)
     c = pl.program_id(0)
-    s = wx_ref.shape[2]
-    q_blk = dout_ref.shape[1]
+    s = wx_ref.shape[1]
+    q_blk = dout_ref.shape[2]
 
     @pl.when(qb == 0)
     def _():
@@ -454,12 +504,13 @@ def _bwd_table_kernel(idx_ref, wx_ref, wy_ref, aw_ref, dout_ref, dtab_ref,
 
     emats = {sc: _expand_mat(sc) for _, sc in _chunks(s)}
     dmats = {sc: _dout_rep_mat(sc) for _, sc in _chunks(s)}
-    cwbuf[:] = _cw4_block(wx_ref[0, :, :], wy_ref[0, :, :], aw_ref[0, :, :],
-                          _cw4_mats_kernel(s))
+    cwbuf[:] = _cw4_block_t(wx_ref[0, :, :], wy_ref[0, :, :],
+                            aw_ref[0, :, :], _cw4_mats_kernel(s))
+    dbuf[:] = _t(dout_ref[0, :, :])                   # [q_blk, DIM]
 
     def tile(i, _):
         q0 = pl.multiple_of(i * QT, QT)
-        dout_t = dout_ref[0, pl.ds(q0, QT), :]
+        dout_t = dbuf[pl.ds(q0, QT), :]
         for (s0, sc) in _chunks(s):
             cw = cwbuf[pl.ds(q0, QT), 4 * s0:4 * (s0 + sc)]
             w_rep = jax.lax.dot_general(
@@ -472,7 +523,7 @@ def _bwd_table_kernel(idx_ref, wx_ref, wy_ref, aw_ref, dout_ref, dtab_ref,
             rg = w_rep * d_rep                        # [QT, sc*128]
             for j in range(QT):
                 for k in range(sc):
-                    r = idx_ref[0, q0 + j, s0 + k]
+                    r = idx_ref[0, s0 + k, q0 + j]
                     seg = rg[j:j + 1, k * 4 * DIM:(k + 1) * 4 * DIM]
                     acc[pl.ds(r, 1), :] = acc[pl.ds(r, 1), :] + seg
         return 0
@@ -494,8 +545,8 @@ def msda_gather_fused_bwd(atlas: jnp.ndarray, row_idx: jnp.ndarray,
                           interpret: bool = False):
     """Backward of ``msda_gather_fused``.
 
-    dout: [C, Q, DIM] f32. Returns (datlas [C, R, 128] — always flat, even
-    for a 4D head-minor atlas — plus dwx1, dwy1, daw each [C, Q, S] f32).
+    dout: [C, DIM, Q] f32. Returns (datlas [C, R, 128] — always flat, even
+    for a 4D head-minor atlas — plus dwx1, dwy1, daw each [C, S, Q] f32).
     """
     if atlas.ndim == 4:
         b4, r, heads, lanes = atlas.shape
@@ -504,14 +555,14 @@ def msda_gather_fused_bwd(atlas: jnp.ndarray, row_idx: jnp.ndarray,
         c, r, lanes = atlas.shape
         heads = 0
     assert atlas.dtype == jnp.float32 and lanes == 4 * DIM
-    _, q, s = row_idx.shape
+    _, s, q = row_idx.shape
     assert q % q_block == 0 and q_block % QT == 0
 
-    ispec = pl.BlockSpec((1, q_block, s), lambda ci, qi: (ci, qi, 0),
+    ispec = pl.BlockSpec((1, s, q_block), lambda ci, qi: (ci, 0, qi),
                          memory_space=pltpu.SMEM)
-    qspec = pl.BlockSpec((1, q_block, s), lambda ci, qi: (ci, qi, 0),
+    qspec = pl.BlockSpec((1, s, q_block), lambda ci, qi: (ci, 0, qi),
                          memory_space=pltpu.VMEM)
-    dspec = pl.BlockSpec((1, q_block, DIM), lambda ci, qi: (ci, qi, 0),
+    dspec = pl.BlockSpec((1, DIM, q_block), lambda ci, qi: (ci, 0, qi),
                          memory_space=pltpu.VMEM)
 
     dwx, dwy, daw = pl.pallas_call(
@@ -520,8 +571,10 @@ def msda_gather_fused_bwd(atlas: jnp.ndarray, row_idx: jnp.ndarray,
         in_specs=[ispec, qspec, qspec, qspec, dspec,
                   pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=(qspec, qspec, qspec),
-        out_shape=(jax.ShapeDtypeStruct((c, q, s), jnp.float32),) * 3,
+        out_shape=(jax.ShapeDtypeStruct((c, s, q), jnp.float32),) * 3,
         scratch_shapes=[pltpu.VMEM((r, lanes), jnp.float32),
+                        pltpu.VMEM((q_block, 3 * s + DIM), jnp.float32),
+                        pltpu.VMEM((q_block, 3 * s), jnp.float32),
                         pltpu.SemaphoreType.DMA],
         interpret=interpret,
     )(row_idx, wx1, wy1, aw, dout, atlas)
@@ -534,6 +587,7 @@ def msda_gather_fused_bwd(atlas: jnp.ndarray, row_idx: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((c, r, lanes), jnp.float32),
         scratch_shapes=[pltpu.VMEM((r, lanes), jnp.float32),
                         pltpu.VMEM((q_block, 4 * s), jnp.float32),
+                        pltpu.VMEM((q_block, DIM), jnp.float32),
                         pltpu.SemaphoreType.DMA],
         interpret=interpret,
     )(row_idx, wx1, wy1, aw, dout)
