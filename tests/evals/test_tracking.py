@@ -68,3 +68,26 @@ def test_mot_pass_counts():
                    gt_tid=np.array([7, 8]))]
     s = _mot_pass(frames, 0.5, 2.0)
     assert s['tp'] == 1 and s['fp'] == 1 and s['fn'] == 1 and s['ids'] == 0
+
+
+def test_greedy_vs_hungarian_matchers():
+    """Greedy (devkit parity, the default) lets the high-score prediction
+    take the shared nearest gt even when that starves another prediction;
+    Hungarian trades it away to maximize matched pairs. This is exactly
+    the protocol difference quantified in docs/STATUS.md."""
+    # A (score .9) at 0; B (score .5) at 3. gt1 at 1.2 (in both gates),
+    # gt2 at -1.5 (in A's gate only).
+    frames = [dict(pred_xy=np.array([[0.0, 0.0], [3.0, 0.0]]),
+                   pred_score=np.array([0.9, 0.5]),
+                   pred_tid=np.array([1, 2]),
+                   gt_xy=np.array([[1.2, 0.0], [-1.5, 0.0]]),
+                   gt_tid=np.array([7, 8]))]
+    g = _mot_pass(frames, 0.0, 2.0, matcher='greedy')
+    h = _mot_pass(frames, 0.0, 2.0, matcher='hungarian')
+    # greedy: A takes its nearest gt1 (1.2); B's only remaining gt2 is
+    # 4.5 away -> unmatched. 1 TP, 1 FP, 1 FN.
+    assert (g['tp'], g['fp'], g['fn']) == (1, 1, 1)
+    # hungarian: A->gt2 (1.5), B->gt1 (1.8) -> 2 TP.
+    assert (h['tp'], h['fp'], h['fn']) == (2, 0, 0)
+    # default matcher is devkit-greedy
+    assert _mot_pass(frames, 0.0, 2.0) == g

@@ -11,9 +11,12 @@ Re-implemented on numpy/scipy following the published protocol
     MOTAR = max(0, 1 - (IDS + FP + FN - (1 - r) * P) / (r * P))
     MOTP  = mean matched center distance
 * AMOTA / AMOTP = mean over achieved recall points;
-* frame-level matching is Hungarian on BEV center distance, gated at
-  ``dist_th`` (2 m, the nuScenes tracking gate); the devkit's greedy
-  matcher differs in rare tie cases only.
+* frame-level matching defaults to the devkit's GREEDY score-ordered
+  matcher (highest-score prediction takes its nearest unmatched gt inside
+  the ``dist_th`` 2 m gate — nuscenes-devkit
+  ``tracking/mot.py``/``detection/algo.py`` convention); a Hungarian
+  matcher is available behind ``matcher='hungarian'`` (it differs in tie
+  cases where a globally-optimal assignment trades one pair for two).
 
 Inputs mirror ``evals.detection``: dicts keyed by sample token, samples
 ordered in time, each with a ``scene`` key so tracks reset per scene.
@@ -26,7 +29,7 @@ from typing import Dict, List, Sequence
 import numpy as np
 
 
-def _frame_match(pred_xy, gt_xy, dist_th):
+def _frame_match_hungarian(pred_xy, gt_xy, dist_th):
     """Hungarian match under a distance gate -> list of (pi, gi, dist)."""
     if not len(pred_xy) or not len(gt_xy):
         return []
@@ -41,7 +44,32 @@ def _frame_match(pred_xy, gt_xy, dist_th):
             for i, j in zip(ri, ci) if cost[i, j] <= dist_th]
 
 
-def _mot_pass(frames: List[dict], score_th: float, dist_th: float):
+def _frame_match_greedy(pred_xy, gt_xy, pred_score, dist_th):
+    """Devkit-style greedy match: predictions in descending score order,
+    each taking its nearest still-unmatched gt within the gate."""
+    if not len(pred_xy) or not len(gt_xy):
+        return []
+    cost = np.linalg.norm(pred_xy[:, None] - gt_xy[None], axis=-1)
+    taken = np.zeros(len(gt_xy), bool)
+    out = []
+    for pi in np.argsort(-np.asarray(pred_score), kind='stable'):
+        row = np.where(taken, np.inf, cost[pi])
+        gi = int(row.argmin())
+        if row[gi] <= dist_th:
+            taken[gi] = True
+            out.append((int(pi), gi, float(cost[pi, gi])))
+    return out
+
+
+def _frame_match(pred_xy, gt_xy, pred_score, dist_th, matcher):
+    if matcher == 'greedy':
+        return _frame_match_greedy(pred_xy, gt_xy, pred_score, dist_th)
+    assert matcher == 'hungarian', matcher
+    return _frame_match_hungarian(pred_xy, gt_xy, dist_th)
+
+
+def _mot_pass(frames: List[dict], score_th: float, dist_th: float,
+              matcher: str = 'greedy'):
     """One MOT accounting pass at a fixed score threshold.
 
     frames: per-frame dicts with pred_xy/pred_score/pred_tid and
@@ -55,7 +83,8 @@ def _mot_pass(frames: List[dict], score_th: float, dist_th: float):
         keep = fr['pred_score'] >= score_th
         p_xy = fr['pred_xy'][keep]
         p_tid = fr['pred_tid'][keep]
-        matches = _frame_match(p_xy, fr['gt_xy'], dist_th)
+        matches = _frame_match(p_xy, fr['gt_xy'], fr['pred_score'][keep],
+                               dist_th, matcher)
         matched_p = {m[0] for m in matches}
         matched_g = {m[1] for m in matches}
         tp += len(matches)
@@ -75,7 +104,8 @@ def evaluate_tracking(predictions: Dict[str, dict],
                       ground_truth: Dict[str, dict],
                       classes: Sequence[str],
                       dist_th: float = 2.0,
-                      num_thresholds: int = 40) -> Dict[str, float]:
+                      num_thresholds: int = 40,
+                      matcher: str = 'greedy') -> Dict[str, float]:
     """AMOTA/AMOTP over per-sample tracked boxes.
 
     predictions[token]: dict(boxes [N,>=2] (xy first), scores [N],
@@ -83,6 +113,7 @@ def evaluate_tracking(predictions: Dict[str, dict],
     ground_truth[token]: dict(boxes [M,>=2], labels [M], track_ids [M],
       scene (str)).
     Tokens must iterate in temporal order (python dicts preserve it).
+    matcher: 'greedy' (devkit parity, default) or 'hungarian'.
     """
     per_class_amota, per_class_amotp, per_class_recall = {}, {}, {}
     totals = dict(tp=0, fp=0, fn=0, ids=0)
@@ -124,7 +155,7 @@ def evaluate_tracking(predictions: Dict[str, dict],
                 if len(all_scores) else 0.0
             stats = dict(tp=0, fp=0, fn=0, ids=0, dist_sum=0.0)
             for frames in frames_by_scene.values():
-                s = _mot_pass(frames, th, dist_th)
+                s = _mot_pass(frames, th, dist_th, matcher)
                 for k in stats:
                     stats[k] += s[k]
             recall = stats['tp'] / max(total_gt, 1)

@@ -20,6 +20,7 @@ Key TPU re-design decisions:
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional, Sequence, Tuple
 
@@ -34,6 +35,26 @@ from .blocks import TorchEncoderLayer, TorchDecoderLayer, FuserMLP
 from .functional import (anchor_coordinate_transform,
                          bivariate_gaussian_activation, norm_points,
                          pos2posemb2d, trajectory_coordinate_transform)
+
+
+def load_motion_anchors(path: str) -> np.ndarray:
+    """Load a k-means anchor pickle -> [G, P, T, 2] float32.
+
+    Same format as the reference's ``motion_anchor_infos_mode6.pkl``
+    (base_motion_head.py:41-44: ``anchors_all`` list of per-group [P, T, 2]
+    arrays); generate one from any infos pkl with
+    ``python -m vidar_tpu.tools.data_tools kmeans-anchors``.
+    """
+    return _load_motion_anchors_cached(path)
+
+
+@functools.lru_cache(maxsize=8)
+def _load_motion_anchors_cached(path: str) -> np.ndarray:
+    import pickle
+    with open(path, 'rb') as f:
+        infos = pickle.load(f)
+    return np.stack([np.asarray(a, np.float32)
+                     for a in infos['anchors_all']])
 
 
 def default_anchors(num_groups: int = 4, num_modes: int = 6,

@@ -204,6 +204,10 @@ class UniAD(nn.Module):
     vehicle_id_list: Sequence[int] = (0, 1, 2, 3, 4, 6, 7)
     memory_len: int = 4
     gt_iou_threshold: float = 0.0
+    # k-means trajectory-anchor pickle (reference base_e2e.py:415
+    # ``anchor_info_path``); None -> deterministic radial-fan anchors.
+    # Generate with `python -m vidar_tpu.tools.data_tools kmeans-anchors`.
+    anchor_info_path: Optional[str] = None
     dtype: jnp.dtype | None = None
 
     def setup(self):
@@ -270,9 +274,17 @@ class UniAD(nn.Module):
         active = jnp.concatenate(
             [active, jnp.ones((bs, 1), bool)], axis=1)
 
-        anchors = jnp.asarray(default_anchors(
-            self.motion_head.num_anchor_group, self.motion_head.num_anchor,
-            self.predict_steps))
+        if self.anchor_info_path:
+            from .motion_head import load_motion_anchors
+            anc = load_motion_anchors(self.anchor_info_path)
+            assert anc.shape == (self.motion_head.num_anchor_group,
+                                 self.motion_head.num_anchor,
+                                 self.predict_steps, 2), anc.shape
+        else:
+            anc = default_anchors(
+                self.motion_head.num_anchor_group,
+                self.motion_head.num_anchor, self.predict_steps)
+        anchors = jnp.asarray(anc)
         motion = self.motion_head(
             tq, labels, centers, yaw, lane_query, lane_query_pos, bev,
             anchors, deterministic=deterministic)
