@@ -17,6 +17,7 @@ convs. 0.5 is the central estimate of that range.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -26,6 +27,11 @@ A100_FORECAST_FPS_ESTIMATE = 0.5  # see module docstring + BASELINE.md
 # Reduced-cost flags for CI smoke (full run on TPU by default).
 import os
 SMOKE = os.environ.get('BENCH_SMOKE', '0') == '1'
+# 'nuscenes' (default, the driver metric) or 'openscene' (the second
+# released workload family: 8 cams, RandomScale 2/3 nuPlan images —
+# vidar_OpenScene_*_3future configs). Select with --variant openscene.
+VARIANT = 'openscene' if '--variant' in sys.argv and \
+    'openscene' in sys.argv else os.environ.get('BENCH_VARIANT', 'nuscenes')
 
 
 def main():
@@ -41,6 +47,14 @@ def main():
     if SMOKE:
         cfg = vidar_tiny()
         bs, q, f, cams, ih, iw, pts = 1, 2, 2, 3, 64, 64, 128
+    elif VARIANT == 'openscene':
+        cfg = vidar_base()
+        # OpenScene/nuPlan eval shapes: 8 cams, 1080x1920 scaled 2/3 then
+        # padded /32 -> 736x1280 (configs/vidar_pretrain/OpenScene/*:
+        # RandomScaleImageMultiViewImage 2/3, num_cams 8)
+        bs, q, f, cams, ih, iw, pts = 1, 4, 6, 8, 736, 1280, 32768
+        cfg['num_cams'] = 8
+        cfg['test_future_frame_num'] = 6
     else:
         cfg = vidar_base()
         # nuScenes eval shapes: 6 cams, padded 928x1600, queue 4+1, 6 futures

@@ -198,3 +198,83 @@ def test_fused_ray_passes_column_split(monkeypatch):
                                    1e-3)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_aggregate_pallas_bwd_matches_xla_grad(monkeypatch):
+    """The Pallas aggregation backward (interpret mode) must match autodiff
+    through the XLA oracle — including the num/den division chain and the
+    zero-ring boundary."""
+    import jax
+    import jax.numpy as jnp
+    from vidar_tpu.models import latent_rendering as lr
+
+    rng = np.random.default_rng(7)
+    bs, h, w, z, g = 1, 10, 12, 4, 6
+    c_r = z
+    grids = jnp.asarray(lr._bev_center_grids(h, w))[None]
+    radial = grids - 0.5
+    rn = jnp.nan_to_num(radial / jnp.sqrt((radial ** 2).sum(-1,
+                                                            keepdims=True)))
+    steps = (jnp.arange(g, dtype=jnp.float32) + 0.5) * (0.5 / (min(h, w)//2))
+    fused_map = jnp.asarray(
+        rng.uniform(0.1, 1.0, (bs, h, w, 2 * c_r)).astype(np.float32))
+
+    def loss_xla(f):
+        return (lr._aggregate_xla(f, grids, rn, steps, c_r, z, 1e-3,
+                                  4096) ** 2).sum()
+
+    def loss_fused(f):
+        return (lr._aggregate(f, grids, rn, steps, c_r, z, 1e-3,
+                              4096) ** 2).sum()
+
+    g_xla = jax.grad(loss_xla)(fused_map)
+    monkeypatch.setattr(lr, '_PALLAS_AGG_BWD_ON_CPU', True)
+    g_pal = jax.grad(loss_fused)(fused_map)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_xla),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_aggregate_pallas_bwd_column_split(monkeypatch):
+    """Chunked bwd: force >1 gradient column chunk and check parity."""
+    import jax
+    import jax.numpy as jnp
+    from vidar_tpu.models import latent_rendering as lr
+
+    rng = np.random.default_rng(11)
+    bs, h, w, z, g = 1, 12, 20, 4, 5
+    c_r = z
+    grids = jnp.asarray(lr._bev_center_grids(h, w))[None]
+    radial = grids - 0.5
+    rn = jnp.nan_to_num(radial / jnp.sqrt((radial ** 2).sum(-1,
+                                                            keepdims=True)))
+    steps = (jnp.arange(g, dtype=jnp.float32) + 0.5) * (0.5 / (min(h, w)//2))
+    fused_map = jnp.asarray(
+        rng.uniform(0.1, 1.0, (bs, h, w, 2 * c_r)).astype(np.float32))
+
+    # shrink the bwd budget so _col_chunks splits
+    orig = lr._aggregate_bwd
+
+    def small_budget_bwd(c_r_, zdim_, eps_, rc_, res, gg):
+        import vidar_tpu.models.latent_rendering as m
+        real = m._col_chunks
+
+        def chunks(h_, w_, c_, budget=5_500_000):
+            return real(h_, w_, c_, budget=10_000)
+        monkeypatch.setattr(m, '_col_chunks', chunks)
+        try:
+            return orig(c_r_, zdim_, eps_, rc_, res, gg)
+        finally:
+            monkeypatch.setattr(m, '_col_chunks', real)
+
+    monkeypatch.setattr(lr, '_PALLAS_AGG_BWD_ON_CPU', True)
+    lr._aggregate.defvjp(lr._aggregate_fwd, small_budget_bwd)
+    try:
+        g_pal = jax.grad(lambda f: (lr._aggregate(
+            f, grids, rn, steps, c_r, z, 1e-3, 4096) ** 2).sum())(fused_map)
+    finally:
+        lr._aggregate.defvjp(lr._aggregate_fwd, orig)
+    g_xla = jax.grad(lambda f: (lr._aggregate_xla(
+        f, grids, rn, steps, c_r, z, 1e-3, 4096) ** 2).sum())(fused_map)
+    assert len(lr._col_chunks(h, w, 2 * c_r, budget=10_000)) > 1
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_xla),
+                               atol=1e-4, rtol=1e-4)

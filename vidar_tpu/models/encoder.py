@@ -256,8 +256,15 @@ class BEVFormerEncoder(nn.Module):
         # it ONCE here and let each layer fold only its value_proj into the
         # packed rows (ops/msda.pack_raw_levels docstring). CPU keeps the
         # XLA path (the fused kernel would run interpreted there).
+        # TRAINING keeps the per-layer path: hoisting makes the shared
+        # packed_raw an input of all 6 remat'd layers, and its cotangent
+        # pipeline (per-layer f32 table-grad transpose copy 551 MB + bf16
+        # round 275 MB + fold-adjoint matmul, x6 concurrently scheduled)
+        # dominated the flagship train-step OOM; the per-layer path's
+        # cross-layer cotangent is the 95 MB value-space gradient instead.
         sca_packed_raw = None
-        if (jax.default_backend() != 'cpu' and self.embed_dims % 8 == 0
+        if (deterministic and jax.default_backend() != 'cpu'
+                and self.embed_dims % 8 == 0
                 and fused_tables_feasible(tuple(spatial_shapes),
                                           self.embed_dims // 8)):
             bsc, cams, v_len, cdim = cam_value.shape

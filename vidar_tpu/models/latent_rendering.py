@@ -29,6 +29,11 @@ from ..ops.grid_sample import grid_sample_2d
 from .layers import TorchLinear
 
 
+# tests flip this to drive the Pallas aggregation backward in interpret
+# mode on the CPU backend (production CPU keeps the autodiff-XLA oracle)
+_PALLAS_AGG_BWD_ON_CPU = False
+
+
 def _scan_cells(block_fn, per_cell_args, n: int, chunk: int, bs: int,
                 out_dim: int):
     """Scan a checkpointed block over chunks of BEV cells.
@@ -280,18 +285,24 @@ def _aggregate_xla(fused_map, grids, radial_norm, steps, c_r, zdim, eps,
                        c_r)
 
 
-def _aggregate_fused_impl(fused_map, grids, radial_norm, steps, c_r, zdim,
-                          eps):
-    from ..ops.latent_render_pallas import ray_agg_fused
-    from ..ops.msda_pallas import pack_atlas16
-    bs, h, w, _ = fused_map.shape
-    n = grids.shape[1]
+def _agg_geometry(grids, radial_norm, steps):
+    """(way_n [bs,N,G,2], way_valid [bs,N,G]) shared by fwd and bwd."""
     path_n = _cell_path(grids, radial_norm, steps)
     way_n = path_n[:, :, :-1, :]   # waypoints only, not the cell itself
     boundary = jnp.minimum(1.0 / jnp.abs(radial_norm[..., 0:1]),
                            1.0 / jnp.abs(radial_norm[..., 1:2]))
     way_len = jnp.sqrt((way_n ** 2).sum(-1))
     way_valid = (way_len < boundary).astype(jnp.float32)   # [bs, N, G]
+    return way_n, way_valid
+
+
+def _aggregate_fused_partials(fused_map, grids, radial_norm, steps, c_r):
+    """(num, den) of the fused aggregation (pre-division)."""
+    from ..ops.latent_render_pallas import ray_agg_fused
+    from ..ops.msda_pallas import pack_atlas16
+    bs, h, w, _ = fused_map.shape
+    n = grids.shape[1]
+    way_n, way_valid = _agg_geometry(grids, radial_norm, steps)
 
     interp = jax.default_backend() == 'cpu'
     packed16 = (fused_map.dtype == jnp.bfloat16 and
@@ -303,9 +314,7 @@ def _aggregate_fused_impl(fused_map, grids, radial_norm, steps, c_r, zdim,
         cw4 = cw4 * jnp.repeat(way_valid, 4, axis=-1)
         (row, cw4), _ = _pad_q([row, cw4], n)
         out = ray_agg_fused(table, row, cw4, interpret=interp)
-        num = out[:, :n, :c_r]
-        den = out[:, :n, c_r:]
-        return num / (den + eps)
+        return out[:, :n, :c_r], out[:, :n, c_r:]
 
     fm = fused_map.astype(jnp.float32)
     fm_full = jnp.pad(fm, ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -318,11 +327,15 @@ def _aggregate_fused_impl(fused_map, grids, radial_norm, steps, c_r, zdim,
         # contributes zero to both the numerator and the denominator
         cw4 = cw4 * jnp.repeat(way_valid, 4, axis=-1)
         (row, cw4), npad = _pad_q([row, cw4], n)
-        part = ray_agg_fused(packed, row, cw4,
-                             interpret=jax.default_backend() == 'cpu')
+        part = ray_agg_fused(packed, row, cw4, interpret=interp)
         out = part if out is None else out + part
-    num = out[:, :n, :c_r]
-    den = out[:, :n, c_r:]
+    return out[:, :n, :c_r], out[:, :n, c_r:]
+
+
+def _aggregate_fused_impl(fused_map, grids, radial_norm, steps, c_r, zdim,
+                          eps):
+    num, den = _aggregate_fused_partials(fused_map, grids, radial_norm,
+                                         steps, c_r)
     return num / (den + eps)
 
 
@@ -341,11 +354,56 @@ def _aggregate_fwd(fused_map, grids, radial_norm, steps, c_r, zdim, eps,
 
 
 def _aggregate_bwd(c_r, zdim, eps, ray_chunk, res, g):
+    """Pallas backward of the aggregation pass (VERDICT r3 #4).
+
+    Recompute (num, den) with one fwd pass, form (dnum, dden), then run
+    the ``ray_agg_fused_bwd`` scatter kernel per f32 column chunk (the
+    f32 gradient accumulator shares VMEM with the value table, so the
+    table budget is halved) and unpack the corner adjoint. Only
+    ``fused_map`` carries gradient — the ray geometry is constant, like
+    the reference's CUDA ray ops. CPU keeps the autodiff-of-XLA oracle.
+    """
     fused_map, grids, radial_norm, steps = res
-    _, vjp = jax.vjp(
-        lambda f: _aggregate_xla(f, grids, radial_norm, steps, c_r, zdim,
-                                 eps, ray_chunk), fused_map)
-    return vjp(g) + (None, None, None)
+    if jax.default_backend() == 'cpu' and not _PALLAS_AGG_BWD_ON_CPU:
+        _, vjp = jax.vjp(
+            lambda f: _aggregate_xla(f, grids, radial_norm, steps, c_r,
+                                     zdim, eps, ray_chunk), fused_map)
+        return vjp(g) + (None, None, None)
+
+    from ..ops.latent_render_pallas import ray_agg_fused_bwd
+    bs, h, w, cdim2 = fused_map.shape
+    n = grids.shape[1]
+    num, den = _aggregate_fused_partials(fused_map, grids, radial_norm,
+                                         steps, c_r)
+    inv = 1.0 / (den + eps)
+    g32 = g.astype(jnp.float32)
+    dnum = g32 * inv
+    dden = -(g32 * num) * (inv * inv)
+    dfb = jnp.concatenate([dnum, dden], axis=-1)          # [bs, n, 2c]
+
+    way_n, way_valid = _agg_geometry(grids, radial_norm, steps)
+    fm_full = jnp.pad(fused_map.astype(jnp.float32),
+                      ((0, 0), (1, 1), (1, 1), (0, 0)))
+    dfm_full = jnp.zeros_like(fm_full)
+    c2 = cdim2
+    for (a, bcol) in _col_chunks(h, w, 2 * c_r, budget=5_500_000):
+        wc = bcol - a + 1
+        packed = _packed_col_chunk(fm_full, a, wc)
+        row, cw4, _ = _path_rows(way_n, h, w, col_range=(a, bcol))
+        cw4 = cw4 * jnp.repeat(way_valid, 4, axis=-1)
+        (row_p, cw4_p, dfb_p), _ = _pad_q([row, cw4, dfb], n)
+        dtab = ray_agg_fused_bwd(packed, row_p, cw4_p, dfb_p,
+                                 interpret=jax.default_backend() == 'cpu')
+        dp = dtab[:, :(h + 1) * wc].reshape(bs, h + 1, wc, 4 * c2)
+        # adjoint of _packed_col_chunk's 4-corner concat
+        dfm_full = dfm_full.at[:, :-1, a:a + wc].add(dp[..., :c2])
+        dfm_full = dfm_full.at[:, :-1, a + 1:a + wc + 1].add(
+            dp[..., c2:2 * c2])
+        dfm_full = dfm_full.at[:, 1:, a:a + wc].add(dp[..., 2 * c2:3 * c2])
+        dfm_full = dfm_full.at[:, 1:, a + 1:a + wc + 1].add(
+            dp[..., 3 * c2:])
+    dfm = dfm_full[:, 1:-1, 1:-1].astype(fused_map.dtype)
+    return (dfm, None, None, None)
 
 
 _aggregate.defvjp(_aggregate_fwd, _aggregate_bwd)

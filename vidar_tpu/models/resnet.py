@@ -18,6 +18,7 @@ TPU-native choices:
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence, Tuple
 
 import jax
@@ -210,6 +211,14 @@ class ResNet(nn.Module):
     strides: Tuple[int, ...] = (1, 2, 2, 2)
     dilations: Tuple[int, ...] = (1, 1, 1, 1)
     remat: bool = False
+    # blocks per outer remat segment (two-level remat: segments save only
+    # their input; their backward recomputes the member blocks, which are
+    # themselves remat'd). Per-BLOCK remat alone kept every block input as
+    # a residual — 23 x 68 MB for RN101 stage 3 at flagship shapes, ~2.5 GB
+    # across the backbone and a big slice of the train-step OOM. Segments
+    # of 4 cut the stored inputs ~4x for one extra (cheap, conv-bound)
+    # within-segment recompute pass.
+    remat_segment: int = 4
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -231,16 +240,27 @@ class ResNet(nn.Module):
         outs = []
         mid = 64
         for stage, num_blocks in enumerate(blocks):
-            for i in range(num_blocks):
-                stride = self.strides[stage] if i == 0 else 1
-                h = block_cls(
-                    mid_channels=mid,
-                    stride=stride,
-                    dilation=self.dilations[stage],
-                    with_downsample=(i == 0),
-                    with_dcn=self.stage_with_dcn[stage],
-                    dtype=self.dtype,
-                    name=f'layer{stage + 1}_{i}')(h)
+            seg = max(1, self.remat_segment) if self.remat else num_blocks
+
+            def run_blocks(mdl, h, *, _stage=stage, _mid=mid, _ids=None):
+                for i in _ids:
+                    stride = mdl.strides[_stage] if i == 0 else 1
+                    h = block_cls(
+                        mid_channels=_mid,
+                        stride=stride,
+                        dilation=mdl.dilations[_stage],
+                        with_downsample=(i == 0),
+                        with_dcn=mdl.stage_with_dcn[_stage],
+                        dtype=mdl.dtype,
+                        name=f'layer{_stage + 1}_{i}')(h)
+                return h
+
+            for i0 in range(0, num_blocks, seg):
+                ids = tuple(range(i0, min(i0 + seg, num_blocks)))
+                fn = functools.partial(run_blocks, _ids=ids)
+                if self.remat and len(ids) > 1:
+                    fn = nn.remat(fn)
+                h = fn(self, h)
             if stage + 1 <= self.frozen_stages:
                 h = jax.lax.stop_gradient(h)
             if stage in self.out_indices:

@@ -225,6 +225,130 @@ def _ray_agg_kernel(packed16, idx_ref, cw_ref, atlas_ref, out_ref,
     jax.lax.fori_loop(0, q_blk // QT, tile, 0)
 
 
+def _dfold_rep_mat(cdim2):
+    """[2*cdim, 4*2*cdim] 0/1 replicating a folded-row gradient across the
+    4 corner segments: D[ch, corner*2*cdim + ch] = 1."""
+    d_ids = jax.lax.broadcasted_iota(jnp.int32, (cdim2, 4 * cdim2), 0)
+    l_ids = jax.lax.broadcasted_iota(jnp.int32, (cdim2, 4 * cdim2), 1)
+    return (l_ids % cdim2 == d_ids).astype(jnp.float32)
+
+
+def _ray_agg_bwd_kernel(idx_ref, cw_ref, dfb_ref, atlas_ref, dtab_ref,
+                        table, acc, sem_in, sem_out):
+    """Backward of the aggregation pass w.r.t. the packed table.
+
+    For waypoint s of ray q with folded row (feat_s | prob_s) and upstream
+    (dnum | dden) (host-side from g, num, den):
+      dfold = [prob_s * dnum | feat_s * dnum + dden]
+    and the packed-row gradient is the corner-weight expansion of dfold,
+    accumulated into a VMEM f32 scratch (sequential, race-free) and DMA'd
+    out after the batch's last ray block. The value table must be f32
+    column chunks here (the f32 gradient accumulator shares VMEM with it;
+    the caller halves the table budget so both fit).
+    """
+    b = pl.program_id(0)
+    qb = pl.program_id(1)
+    n_qb = pl.num_programs(1)
+    s = cw_ref.shape[2] // 4
+    q_blk = cw_ref.shape[1]
+    cdim2 = dfb_ref.shape[2]              # 2*cdim lanes: [dnum | dden]
+    cdim = cdim2 // 2
+
+    @pl.when(qb == 0)
+    def _():
+        cp = pltpu.make_async_copy(atlas_ref.at[b], table, sem_in)
+        cp.start()
+        cp.wait()
+        acc[...] = jnp.zeros_like(acc)
+
+    emats = {sc: _expand_mat(sc, 2 * cdim) for _, sc in _chunks(s)}
+    dmat = _dfold_rep_mat(cdim2)
+    hi = jax.lax.Precision.HIGHEST
+
+    def tile(i, _):
+        q0 = pl.multiple_of(i * QT, QT)
+        dfb = dfb_ref[0, pl.ds(q0, QT), :]            # [QT, 2c]
+        dnum = dfb[:, :cdim]
+        dden = dfb[:, cdim:]
+        for (s0, sc) in _chunks(s):
+            g = _gather_chunk(table, idx_ref, q0, s0, sc)
+            cw = cw_ref[0, pl.ds(q0, QT), 4 * s0:4 * (s0 + sc)]
+            w_rep = jax.lax.dot_general(
+                cw, emats[sc], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=hi)
+            p = g * w_rep                             # [QT, sc*4*2c]
+            for k in range(sc):
+                base = k * 4 * cdim2
+                fold = (p[:, base:base + cdim2] +
+                        p[:, base + cdim2:base + 2 * cdim2] +
+                        p[:, base + 2 * cdim2:base + 3 * cdim2] +
+                        p[:, base + 3 * cdim2:base + 4 * cdim2])
+                feat = fold[:, :cdim]
+                prob = fold[:, cdim:]
+                dfold = jnp.concatenate(
+                    [prob * dnum, feat * dnum + dden], axis=1)  # [QT, 2c]
+                d_rep = jax.lax.dot_general(
+                    dfold, dmat,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=hi)
+                rg = d_rep * w_rep[:, base:base + 4 * cdim2]
+                for j in range(QT):
+                    r = idx_ref[0, q0 + j, s0 + k]
+                    acc[pl.ds(r, 1), :] = (acc[pl.ds(r, 1), :] +
+                                           rg[j:j + 1, :])
+        return 0
+
+    jax.lax.fori_loop(0, q_blk // QT, tile, 0)
+
+    @pl.when(qb == n_qb - 1)
+    def _():
+        cp = pltpu.make_async_copy(acc, dtab_ref.at[b], sem_out)
+        cp.start()
+        cp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=('q_block', 'interpret'))
+def ray_agg_fused_bwd(atlas: jnp.ndarray, row_idx: jnp.ndarray,
+                      cw4: jnp.ndarray, dfb: jnp.ndarray,
+                      q_block: int = 256,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Packed-table gradient of one aggregation column chunk.
+
+    atlas: [B, R, 128] f32 (column chunk; R*128*4*2 bytes must fit VMEM —
+    value table + f32 gradient accumulator); dfb: [B, N, 2*cdim] f32 =
+    [dnum | dden] upstream gradients. Returns [B, R, 128] f32.
+    """
+    bsz, r, lanes = atlas.shape
+    cdim = lanes // 8
+    _, n, s = row_idx.shape
+    assert atlas.dtype == jnp.float32
+    assert n % q_block == 0 and q_block % QT == 0
+    assert cw4.shape == (bsz, n, 4 * s)
+    assert dfb.shape == (bsz, n, 2 * cdim)
+
+    return pl.pallas_call(
+        _ray_agg_bwd_kernel,
+        grid=(bsz, n // q_block),
+        in_specs=[
+            pl.BlockSpec((1, q_block, s), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, q_block, 4 * s), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_block, 2 * cdim),
+                         lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((bsz, r, lanes), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((r, lanes), jnp.float32),
+                        pltpu.VMEM((r, lanes), jnp.float32),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+    )(row_idx, cw4, dfb, atlas)
+
+
 @functools.partial(jax.jit, static_argnames=('q_block', 'interpret'))
 def ray_agg_fused(atlas: jnp.ndarray, row_idx: jnp.ndarray,
                   cw4: jnp.ndarray, q_block: int = 256,
