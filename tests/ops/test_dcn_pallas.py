@@ -115,3 +115,58 @@ def test_dcn_sample_grad_matches_ref():
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4)
+
+
+def _conv_data(b=2, h=6, w=9, c=256, co=128, q=11, s=9, seed=3):
+    x, sx, sy, mask = _data(b=b, h=h, w=w, c=c, q=q, s=s, seed=seed)
+    rng = np.random.default_rng(seed + 1)
+    kperm = jnp.asarray(
+        rng.standard_normal((s * c, co)).astype(np.float32) * 0.05)
+    return x, sx, sy, mask, kperm
+
+
+def test_dcn_conv16_matches_unfused_ref():
+    x, sx, sy, mask, kperm = _conv_data()
+    got = np.asarray(dcn_pallas.dcn_conv16(x, sx, sy, mask, kperm))
+    want = np.asarray(dcn_pallas._dcn_conv16_ref(x, sx, sy, mask, kperm))
+    # both paths: bf16 taps x bf16 kernel with f32 accumulation
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
+
+def test_dcn_conv16_grad_matches_ref():
+    x, sx, sy, mask, kperm = _conv_data(q=5)
+
+    def loss(fn):
+        return lambda *a: (fn(*a) ** 2).sum()
+
+    gf = jax.grad(loss(dcn_pallas.dcn_conv16), argnums=(0, 1, 2, 3, 4))(
+        x, sx, sy, mask, kperm)
+    gr = jax.grad(loss(dcn_pallas._dcn_conv16_ref), argnums=(0, 1, 2, 3, 4))(
+        x, sx, sy, mask, kperm)
+    # dx at bf16 tolerance (the ref rounds its cotangent through bf16);
+    # the rest at a few-bf16-ulp tolerance (bf16 matmul chains)
+    np.testing.assert_allclose(np.asarray(gf[0]), np.asarray(gr[0]),
+                               atol=5e-3, rtol=2e-2)
+    for a, b in zip(gf[1:], gr[1:]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, rtol=2e-2)
+
+
+def test_dcn_conv16_grad_multi_chunk():
+    import functools
+    x, sx, sy, mask, kperm = _conv_data(q=11)
+    gf = jax.grad(
+        lambda *a: (dcn_pallas.dcn_conv16(*a) ** 2).sum(),
+        argnums=(0, 1, 2, 3, 4))(x, sx, sy, mask, kperm)
+    orig = dcn_pallas._dcn_conv16_vbwd
+    dcn_pallas.dcn_conv16.defvjp(
+        dcn_pallas._dcn_conv16_vfwd, functools.partial(orig, q_chunk=4))
+    try:
+        gc = jax.grad(
+            lambda *a: (dcn_pallas.dcn_conv16(*a) ** 2).sum(),
+            argnums=(0, 1, 2, 3, 4))(x, sx, sy, mask, kperm)
+    finally:
+        dcn_pallas.dcn_conv16.defvjp(dcn_pallas._dcn_conv16_vfwd, orig)
+    for a, b in zip(gf, gc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)

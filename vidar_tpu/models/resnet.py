@@ -100,6 +100,7 @@ class DeformConv2d(nn.Module):
         import os
         from ..ops.dcn_pallas import (dcn_sample, dcn_sample_available,
                                       dcn_sample16, dcn_sample16_available,
+                                      dcn_conv16, dcn_conv16_available,
                                       dcn16_channel_perm)
         flag16 = os.environ.get('VIDAR_TPU_DCN16', '1')
         use16 = (flag16 != '0' and x.dtype == jnp.bfloat16 and
@@ -111,14 +112,22 @@ class DeformConv2d(nn.Module):
             # (see ops/dcn_pallas.py). Per-tap channels come out
             # (evens || odds) — fold that fixed permutation into the conv
             # kernel instead of transposing the 9x-fat tap tensor.
-            sampled = dcn_sample16(x, sx.reshape(b, ho * wo, k * k),
-                                   sy.reshape(b, ho * wo, k * k),
-                                   mask.reshape(b, ho * wo, k * k))
             kernel = self.param('kernel', _conv_kernel_init,
                                 (k * k * c_in, self.features))
             perm = jnp.asarray(dcn16_channel_perm(c_in), jnp.int32)
             kperm = kernel.reshape(k * k, c_in, self.features)[:, perm]
             kperm = kperm.reshape(k * k * c_in, self.features)
+            if dcn_conv16_available(h, w, c_in, self.features):
+                # fully fused: the [B, Q, 9*C] tap tensor never touches
+                # HBM (fwd round-trip + train-step liveness both gone)
+                out = dcn_conv16(x, sx.reshape(b, ho * wo, k * k),
+                                 sy.reshape(b, ho * wo, k * k),
+                                 mask.reshape(b, ho * wo, k * k),
+                                 kperm.astype(jnp.bfloat16))
+                return out.reshape(b, ho, wo, self.features).astype(x.dtype)
+            sampled = dcn_sample16(x, sx.reshape(b, ho * wo, k * k),
+                                   sy.reshape(b, ho * wo, k * k),
+                                   mask.reshape(b, ho * wo, k * k))
             sampled = sampled.reshape(b, ho, wo, k * k * c_in).astype(x.dtype)
             return sampled @ kperm.astype(x.dtype)
         # Off by default: at bf16 model precision the 2KB-row take path

@@ -559,3 +559,296 @@ def dcn_sample16_available(h, w, c):
     """dcn16 needs 128-lane-multiple pixel rows and a VMEM-resident table."""
     table_bytes = (h + 2) * (w + 2) * (c // 2) * 4
     return c % 256 == 0 and table_bytes <= TABLE16_BUDGET_BYTES
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused modulated deformable CONV ("dcn_conv16"): the dcn16 tap
+# gather/fold above plus the 3x3 conv matmul, in one kernel. The
+# intermediate tap tensor ([B, Q, 9*C] — 159 MB per RN101 stage-3 block at
+# flagship shapes) never touches HBM: the forward saves its write+read
+# round-trip per DCN block, and the train-step backward no longer keeps 23
+# of them alive at once (XLA scheduled every block's recomputed taps before
+# any consumer — the last big flagship OOM contributor). The conv kernel
+# (permuted to the kernel's evens||odds tap-channel order) sits VMEM-
+# resident next to the table; each 8-query tile closes with one
+# [QT, 9C] x [9C, CO] MXU matmul (bf16 operands, f32 accumulation — the
+# same math as the XLA bf16 matmul it replaces).
+# ---------------------------------------------------------------------------
+
+
+def _dcn16_conv_kernel(w2: int, idx_ref, cw_ref, kp_ref, table_hbm,
+                       out_ref, table, sem):
+    b = pl.program_id(0)
+    qb = pl.program_id(1)
+    s = cw_ref.shape[2] // 4
+    q_blk = idx_ref.shape[1]
+    cl = table.shape[1]          # lanes per pixel row = C // 2
+
+    @pl.when(qb == 0)
+    def _():
+        cp = pltpu.make_async_copy(table_hbm.at[b], table, sem)
+        cp.start()
+        cp.wait()
+
+    emat = _expand_corner_mat(cl)
+    hi_mask = jnp.uint32(0xffff0000)
+
+    def tile(i, _):
+        q0 = pl.multiple_of(i * QT16, QT16)
+        tap_outs = []
+        for k in range(s):
+            qrows = []
+            for j in range(QT16):
+                r = idx_ref[0, q0 + j, k]
+                c00 = table[pl.ds(r, 1), :]
+                c01 = table[pl.ds(r + 1, 1), :]
+                c10 = table[pl.ds(r + w2, 1), :]
+                c11 = table[pl.ds(r + w2 + 1, 1), :]
+                qrows.append(jnp.concatenate([c00, c01, c10, c11], axis=1))
+            g = jnp.concatenate(qrows, axis=0)          # [QT, 4*cl] u32
+            ghi = jax.lax.bitcast_convert_type(
+                jax.lax.bitwise_and(g, jnp.broadcast_to(hi_mask, g.shape)),
+                jnp.float32)
+            glo = jax.lax.bitcast_convert_type(
+                jax.lax.shift_left(g, jnp.broadcast_to(jnp.uint32(16),
+                                                       g.shape)),
+                jnp.float32)
+            cw = cw_ref[0, pl.ds(q0, QT16), 4 * k:4 * (k + 1)]   # [QT, 4]
+            w_rep = jax.lax.dot_general(
+                cw, emat, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI)
+            phi = ghi * w_rep
+            plo = glo * w_rep
+            acc_hi = (phi[:, 0:cl] + phi[:, cl:2 * cl] +
+                      phi[:, 2 * cl:3 * cl] + phi[:, 3 * cl:4 * cl])
+            acc_lo = (plo[:, 0:cl] + plo[:, cl:2 * cl] +
+                      plo[:, 2 * cl:3 * cl] + plo[:, 3 * cl:4 * cl])
+            tap_outs.append(acc_hi)
+            tap_outs.append(acc_lo)
+        taps = jnp.concatenate(tap_outs, axis=1)        # [QT, s*2*cl] f32
+        # bf16 round + MXU conv: bf16 x bf16 is exact on the MXU at
+        # DEFAULT precision; accumulation is f32 — same math as the XLA
+        # `taps.astype(bf16) @ kperm` this fuses away.
+        out_ref[0, pl.ds(q0, QT16), :] = jax.lax.dot_general(
+            taps.astype(jnp.bfloat16), kp_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, q_blk // QT16, tile, 0)
+
+
+@functools.partial(jax.jit, static_argnames=('w2', 'q_block', 'interpret'))
+def dcn16_conv_gather(table16: jnp.ndarray, row_idx: jnp.ndarray,
+                      cw4: jnp.ndarray, kperm: jnp.ndarray, w2: int,
+                      q_block: int = 128,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Fused u32-packed DCN tap gather + bilinear fold + conv matmul.
+
+    kperm: [S*C, CO] bf16 conv kernel with per-tap channels in the
+    (evens || odds) order the gather emits. Returns [B, Q, CO] f32.
+    """
+    bsz, rrows, cl = table16.shape
+    assert table16.dtype == jnp.uint32 and cl % 128 == 0
+    _, q, s = row_idx.shape
+    assert q % q_block == 0 and q_block % QT16 == 0
+    assert cw4.shape == (bsz, q, 4 * s)
+    assert kperm.dtype == jnp.bfloat16 and kperm.shape[0] == s * 2 * cl
+    co = kperm.shape[1]
+    assert co % 128 == 0
+
+    kern = functools.partial(_dcn16_conv_kernel, w2)
+    return pl.pallas_call(
+        kern,
+        grid=(bsz, q // q_block),
+        in_specs=[
+            pl.BlockSpec((1, q_block, s), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, q_block, 4 * s), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s * 2 * cl, co), lambda bi, qi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, q_block, co),
+                               lambda bi, qi: (bi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, q, co), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((rrows, cl), jnp.uint32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(row_idx, cw4, kperm, table16)
+
+
+def _dcn_conv16_fwd_impl(x, sx, sy, mask, kperm, q_block=128):
+    b, h, w, c = x.shape
+    _, q, s = sx.shape
+    interpret = jax.default_backend() == 'cpu'
+    table16 = pack_table16(x)
+
+    x_pix = sx.astype(jnp.float32)
+    y_pix = sy.astype(jnp.float32)
+    ix0 = jnp.floor(x_pix).astype(jnp.int32)
+    iy0 = jnp.floor(y_pix).astype(jnp.int32)
+    wx1 = x_pix - jnp.floor(x_pix)
+    wy1 = y_pix - jnp.floor(y_pix)
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+    valid = ((iy0 >= -1) & (iy0 <= h - 1) & (ix0 >= -1) & (ix0 <= w - 1))
+    row = (jnp.clip(iy0 + 1, 0, h) * (w + 2) +
+           jnp.clip(ix0 + 1, 0, w)).astype(jnp.int32)
+    aw = mask.astype(jnp.float32) * valid.astype(jnp.float32)
+    cw4 = jnp.stack([wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1],
+                    axis=-1) * aw[..., None]
+    cw4 = cw4.reshape(b, q, 4 * s)
+
+    qp = q + ((-q) % q_block)
+    if qp != q:
+        row = jnp.pad(row, ((0, 0), (0, qp - q), (0, 0)))
+        cw4 = jnp.pad(cw4, ((0, 0), (0, qp - q), (0, 0)))
+    out = dcn16_conv_gather(table16, row, cw4, kperm.astype(jnp.bfloat16),
+                            w2=w + 2, q_block=q_block, interpret=interpret)
+    return out[:, :q]      # [B, Q, CO] f32
+
+
+@jax.custom_vjp
+def dcn_conv16(x, sx, sy, mask, kperm):
+    """Fully-fused modulated deformable conv.
+
+    x [B,H,W,C] (bf16-representable), sx/sy/mask [B,Q,S],
+    kperm [S*C, CO] (per-tap channels in evens||odds order) ->
+    [B, Q, CO] f32. Pallas forward (taps never touch HBM); backward is the
+    q-chunked scan of ``dcn_sample16`` extended with the conv adjoints.
+    """
+    return _dcn_conv16_fwd_impl(x, sx, sy, mask, kperm)
+
+
+def _dcn_conv16_vfwd(x, sx, sy, mask, kperm):
+    return dcn_conv16(x, sx, sy, mask, kperm), (x, sx, sy, mask, kperm)
+
+
+def _dcn_conv16_vbwd(res, g, q_chunk=512):
+    """Chunked backward: per chunk, d_taps = g @ kperm^T, then the same
+    gather-recompute adjoints as ``_dcn_sample16_vbwd``; d_kperm
+    accumulates taps^T @ g in the scan carry."""
+    from vidar_tpu.ops.gather import pack_corners_2d, bilinear_weights
+    import numpy as np
+    x, sx, sy, mask, kperm = res
+    b, h, w, c = x.shape
+    _, q, s = sx.shape
+    co = kperm.shape[1]
+
+    perm = np.asarray(dcn16_channel_perm(c))
+    # kernel-layout index of natural channel ch of tap k:
+    # pos[k*c + perm[j]] = k*c + j  ->  natural_from_kernel index map
+    inv = np.argsort(perm)
+    kp16 = kperm.astype(jnp.bfloat16)
+
+    packed = pack_corners_2d(x.astype(jnp.bfloat16))   # [b, rows, 4c]
+    rows = packed.shape[1]
+    flat = packed.reshape(b * rows, 4 * c)
+
+    sxf = sx.astype(jnp.float32)
+    syf = sy.astype(jnp.float32)
+    row, cw = bilinear_weights(sxf.reshape(b, -1), syf.reshape(b, -1), h, w)
+    offs = (jnp.arange(b, dtype=jnp.int32) * rows)[:, None]
+    row = (row + offs).reshape(b, q, s)
+    cw = cw.reshape(b, q, s, 4)
+
+    qc = min(q_chunk, q)
+    nch = -(-q // qc)
+    qp = nch * qc
+
+    def padq(a):
+        return (a if qp == q
+                else jnp.pad(a, ((0, 0), (0, qp - q)) +
+                             ((0, 0),) * (a.ndim - 2)))
+
+    def chunked(a):
+        a = padq(a)
+        return jnp.moveaxis(a.reshape(b, nch, qc, *a.shape[2:]), 1, 0)
+
+    xs = (chunked(row), chunked(cw), chunked(mask.astype(jnp.float32)),
+          chunked(g.astype(jnp.float32)))
+    inv_j = jnp.asarray(inv, jnp.int32)
+    perm_j = jnp.asarray(perm, jnp.int32)
+
+    def body(carry, xs):
+        dpk, dkp = carry
+        row_c, cw_c, mask_c, g_c = xs
+        n = qc * s
+        # conv adjoint: d_taps (kernel layout) -> natural tap order
+        dt_k = jnp.einsum('bqo,ko->bqk', g_c, kp16.astype(jnp.float32))
+        dt = dt_k.reshape(b, qc, s, c)[..., inv_j].reshape(b, n, c)
+        gcf = jnp.take(flat, row_c.reshape(-1), axis=0).reshape(
+            b, n, 4, c).astype(jnp.float32)
+        cw_n = cw_c.reshape(b, n, 4)
+        samp = jnp.einsum('bncd,bnc->bnd', gcf, cw_n)     # pre-mask taps
+        dmask_c = (dt * samp).sum(-1).reshape(b, qc, s)
+        dout_e = dt * mask_c.reshape(b, n, 1)
+        dcw_c = jnp.einsum('bncd,bnd->bnc', gcf, dout_e)
+        dgc = cw_n[..., None] * dout_e[:, :, None, :]
+        dpk = dpk.at[row_c.reshape(-1)].add(dgc.reshape(b * n, 4 * c))
+        # d_kperm: taps (masked, kernel layout, bf16-rounded) ^T @ g
+        taps = (samp * mask_c.reshape(b, n, 1)).reshape(b, qc, s, c)
+        taps_k = taps[..., perm_j].reshape(b, qc, s * c)
+        taps_k = taps_k.astype(jnp.bfloat16).astype(jnp.float32)
+        dkp = dkp + jnp.einsum('bqk,bqo->ko', taps_k, g_c)
+        return (dpk, dkp), (dmask_c, dcw_c.reshape(b, qc, s, 4))
+
+    dpk0 = jnp.zeros((b * rows, 4 * c), jnp.float32)
+    dkp0 = jnp.zeros((s * c, co), jnp.float32)
+    (dpk, dkp), (dmask_ch, dcw_ch) = jax.lax.scan(body, (dpk0, dkp0), xs)
+    dmask = jnp.moveaxis(dmask_ch, 0, 1).reshape(b, qp, s)[:, :q]
+    dcw = jnp.moveaxis(dcw_ch, 0, 1).reshape(b, qp, s, 4)[:, :q]
+
+    dp = dpk.reshape(b, h + 1, w + 1, 4 * c)
+    dvp = jnp.zeros((b, h + 2, w + 2, c), jnp.float32)
+    dvp = dvp.at[:, :-1, :-1].add(dp[..., :c])
+    dvp = dvp.at[:, :-1, 1:].add(dp[..., c:2 * c])
+    dvp = dvp.at[:, 1:, :-1].add(dp[..., 2 * c:3 * c])
+    dvp = dvp.at[:, 1:, 1:].add(dp[..., 3 * c:])
+    dx = dvp[:, 1:-1, 1:-1].astype(x.dtype)
+
+    x0 = jnp.floor(sxf)
+    y0 = jnp.floor(syf)
+    wx1 = sxf - x0
+    wy1 = syf - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+    ix0 = x0.astype(jnp.int32)
+    iy0 = y0.astype(jnp.int32)
+    valid = ((iy0 >= -1) & (iy0 <= h - 1) & (ix0 >= -1) &
+             (ix0 <= w - 1)).astype(jnp.float32)
+    dcw = dcw * valid[..., None]
+    dsx = (wy0 * (dcw[..., 1] - dcw[..., 0]) +
+           wy1 * (dcw[..., 3] - dcw[..., 2])).astype(sx.dtype)
+    dsy = (wx0 * (dcw[..., 2] - dcw[..., 0]) +
+           wx1 * (dcw[..., 3] - dcw[..., 1])).astype(sy.dtype)
+    return (dx, dsx, dsy, dmask.astype(mask.dtype),
+            dkp.astype(kperm.dtype))
+
+
+dcn_conv16.defvjp(_dcn_conv16_vfwd, _dcn_conv16_vbwd)
+
+
+def _dcn_conv16_ref(x, sx, sy, mask, kperm):
+    """XLA reference: the unfused taps-then-matmul path (the module's old
+    formulation) for parity tests."""
+    taps = _dcn_sample16_ref_perm(x, sx, sy, mask)      # [B, Q, S*C] f32
+    return jnp.einsum('bqk,ko->bqo', taps.astype(jnp.bfloat16),
+                      kperm.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+
+
+# conv-kernel VMEM budget for the fused conv (resident next to the table)
+KPERM_BUDGET_BYTES = 5_000_000
+
+
+def dcn_conv16_available(h, w, c, co):
+    """Fused deform-conv needs the dcn16 table + a VMEM-resident kperm +
+    128-lane-multiple output channels."""
+    return (dcn_sample16_available(h, w, c) and co % 128 == 0 and
+            9 * c * co * 2 <= KPERM_BUDGET_BYTES)
