@@ -32,6 +32,17 @@ def hbm_gb():
 def main():
     cfg = vidar_base()
     cfg['remat'] = True
+    supervise_all = True
+    if '--mem-efficient' in sys.argv:
+        # mem_efficient_vidar_1_8_nusc_3future: supervise ONE random future
+        # frame, no auxiliary history/future channels, grid_step 1.0
+        # (reference README.md:158-166, configs diff)
+        cfg.update(pred_history_frame_num=0, pred_future_frame_num=0,
+                   per_frame_loss_weight=(1.0,),
+                   supervise_all_future=False, ray_grid_step=1.0,
+                   loss_weight=((1.0,),))
+        supervise_all = False
+        print('variant: mem_efficient', flush=True)
     bs, q, f, cams, ih, iw, pts = 1, 4, 3, 6, 928, 1600, 32768
     model = ViDAR(**cfg, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
@@ -51,7 +62,7 @@ def main():
         treedef, [jax.random.normal(k, s.shape, s.dtype) * 0.02
                   for k, s in zip(keys, leaves)])
     state = create_train_state(params, optax.adamw(1e-4))
-    step = make_train_step(model)
+    step = make_train_step(model, supervise_all_future=supervise_all)
 
     # forward-only (loss) for the backward/forward ratio
     fwd = jax.jit(lambda p, b, k: model.apply(

@@ -36,3 +36,22 @@ def test_sample_sigma_frames_matches_torch():
             want[b, pi] = s.reshape(-1).numpy()
 
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_sample_sigma_frames_chunked_matches_dense():
+    """lax.map ray chunking (incl. the padded tail chunk) is exact."""
+    rng = np.random.default_rng(11)
+    bs, v, z, h, w = 1, 2, 4, 9, 11
+    p, g = 37, 5  # 37 % 8 != 0 -> exercises the pad+slice path
+    sigma = rng.standard_normal((bs, v, z, h, w)).astype(np.float32)
+    grids = rng.uniform(-2.0, [w + 2, h + 2, z + 2],
+                        size=(bs, p, g, 3)).astype(np.float32)
+    frame_idx = rng.integers(-1, v + 1, size=(bs, p)).astype(np.int32)
+
+    dense = np.asarray(sample_sigma_frames(
+        jnp.asarray(sigma), jnp.asarray(grids), jnp.asarray(frame_idx),
+        chunk=None))
+    chunked = np.asarray(sample_sigma_frames(
+        jnp.asarray(sigma), jnp.asarray(grids), jnp.asarray(frame_idx),
+        chunk=8))
+    np.testing.assert_array_equal(dense, chunked)

@@ -45,14 +45,26 @@ def coords_to_voxel_grids(xyz: Array, bev_h: int, bev_w: int,
     return jnp.stack([gx, gy, gz], axis=-1)
 
 
-def sample_sigma_frames(sigma: Array, grids: Array, frame_idx: Array) -> Array:
+# rays per lax.map chunk in sample_sigma_frames: bounds the gathered
+# [bs, chunk, G, 4Z] buffer (f32, e.g. 4096x513x64 = 538 MB at flagship
+# shapes) — unchunked, the 32768-ray flagship gather materializes 4.01 GB
+# TWICE in the train backward (gathered rows + cotangent), the #1
+# contributor to the round-4 flagship train-step OOM.
+RAY_CHUNK = 4096
+
+
+def sample_sigma_frames(sigma: Array, grids: Array, frame_idx: Array,
+                        chunk: Optional[int] = RAY_CHUNK) -> Array:
     """Frame-indexed trilinear sampling of per-frame sigma volumes.
 
     TPU formulation: trilinear = bilinear over (x, y) x linear over z. The
     whole z-column (all Z bins) of all 4 xy-corners is packed into ONE row
     (4*Z values), so each waypoint costs a single row gather (TPU gathers are
     row-rate bound); the z interpolation is then a dense one-hot einsum on
-    the VPU.
+    the VPU. Rays are processed in ``chunk``-sized ``lax.map`` slices so the
+    gathered [.., G, 4Z] rows (and, under autodiff, their cotangents) never
+    materialize for all P rays at once — the map's backward is sequential by
+    construction, which is exactly the liveness bound we want.
 
     Args:
       sigma: [bs, V, Z, H, W] occupancy logits per rollout frame.
@@ -60,6 +72,7 @@ def sample_sigma_frames(sigma: Array, grids: Array, frame_idx: Array) -> Array:
         [0, size] units.
       frame_idx: [bs, P] int32 rollout-frame of each ray; lanes outside
         [0, V) sample zeros.
+      chunk: rays per sequential slice (None = single dense gather).
 
     Returns:
       [bs, P, G] fp32 sampled values (zero outside the volume, matching
@@ -76,30 +89,48 @@ def sample_sigma_frames(sigma: Array, grids: Array, frame_idx: Array) -> Array:
     rows_per = packed.shape[1]
     flat = packed.reshape(bs * v * rows_per, 4 * zdim)
 
-    px = grids[..., 0].astype(jnp.float32) - 0.5
-    py = grids[..., 1].astype(jnp.float32) - 0.5
-    pz = grids[..., 2].astype(jnp.float32) - 0.5
+    def _sample(grids_c: Array, fi_c: Array) -> Array:
+        """grids_c [bs, pc, G, 3], fi_c [bs, pc] -> [bs, pc, G]."""
+        pc = grids_c.shape[1]
+        px = grids_c[..., 0].astype(jnp.float32) - 0.5
+        py = grids_c[..., 1].astype(jnp.float32) - 0.5
+        pz = grids_c[..., 2].astype(jnp.float32) - 0.5
 
-    row, cw = bilinear_weights(px, py, h, w)  # [bs,P,G], [bs,P,G,4]
+        row, cw = bilinear_weights(px, py, h, w)  # [bs,pc,G], [bs,pc,G,4]
 
-    fi = frame_idx[:, :, None]  # [bs, P, 1]
-    frame_ok = (fi >= 0) & (fi < v)
-    base = (jnp.arange(bs, dtype=jnp.int32)[:, None, None] * v +
-            jnp.clip(fi, 0, v - 1)) * rows_per
-    cw = cw * frame_ok[..., None].astype(jnp.float32)
+        fi = fi_c[:, :, None]  # [bs, pc, 1]
+        frame_ok = (fi >= 0) & (fi < v)
+        base = (jnp.arange(bs, dtype=jnp.int32)[:, None, None] * v +
+                jnp.clip(fi, 0, v - 1)) * rows_per
+        cw_m = cw * frame_ok[..., None].astype(jnp.float32)
 
-    gathered = take_rows(flat, row + base)  # [bs, P, G, 4*Z]
-    gathered = gathered.reshape(bs, p, g, 4, zdim).astype(jnp.float32)
-    xy = jnp.einsum('bpgcz,bpgc->bpgz', gathered, cw.astype(jnp.float32))
+        gathered = take_rows(flat, row + base)  # [bs, pc, G, 4*Z]
+        gathered = gathered.reshape(bs, pc, g, 4, zdim).astype(jnp.float32)
+        xy = jnp.einsum('bpgcz,bpgc->bpgz', gathered, cw_m.astype(jnp.float32))
 
-    # linear z interpolation with zero padding outside [0, Z)
-    z0 = jnp.floor(pz)
-    wz1 = pz - z0
-    iz0 = z0.astype(jnp.int32)
-    zi = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, zdim), 3)
-    w_z = (jnp.where(zi == iz0[..., None], 1.0 - wz1[..., None], 0.0) +
-           jnp.where(zi == iz0[..., None] + 1, wz1[..., None], 0.0))
-    return jnp.einsum('bpgz,bpgz->bpg', xy, w_z)
+        # linear z interpolation with zero padding outside [0, Z)
+        z0 = jnp.floor(pz)
+        wz1 = pz - z0
+        iz0 = z0.astype(jnp.int32)
+        zi = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, zdim), 3)
+        w_z = (jnp.where(zi == iz0[..., None], 1.0 - wz1[..., None], 0.0) +
+               jnp.where(zi == iz0[..., None] + 1, wz1[..., None], 0.0))
+        return jnp.einsum('bpgz,bpgz->bpg', xy, w_z)
+
+    if chunk is None or p <= chunk:
+        return _sample(grids, frame_idx)
+
+    pad = (-p) % chunk
+    if pad:
+        grids = jnp.pad(grids, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        frame_idx = jnp.pad(frame_idx, ((0, 0), (0, pad)),
+                            constant_values=-1)
+    nch = (p + pad) // chunk
+    g_r = grids.reshape(bs, nch, chunk, g, 3).transpose(1, 0, 2, 3, 4)
+    f_r = frame_idx.reshape(bs, nch, chunk).transpose(1, 0, 2)
+    out = jax.lax.map(lambda ab: _sample(ab[0], ab[1]), (g_r, f_r))
+    out = out.transpose(1, 0, 2, 3).reshape(bs, nch * chunk, g)
+    return out[:, :p]
 
 
 class RayFeatures(NamedTuple):

@@ -131,6 +131,28 @@ class ViDAR(nn.Module):
                 1, 0, 2, 3, 4, 5))
         return out
 
+    def extract_feats_cam_scan(self, images):
+        """[bs, cams, H, W, 3] -> list of [1, bs, cams, h, w, C].
+
+        Camera-sequential backbone for the GRADIENT-carrying frame: a
+        remat'd ``nn.scan`` over cameras. A scan's backward is sequential
+        BY CONSTRUCTION, so the per-camera backbone backwards cannot be
+        co-scheduled — the flagship train step's peak was XLA running all
+        cameras' backbone backward concurrently (~6x the working set; the
+        spatial dims keep the MXU fed at conv batch 1, so the serial form
+        costs only launch glue). Eval and the no-grad history frames keep
+        the single batched launch (``extract_feats``)."""
+        def step(mdl, carry, img):
+            return carry, tuple(mdl.img_neck(mdl.img_backbone(img)))
+
+        scan = nn.scan(nn.remat(step), variable_broadcast='params',
+                       split_rngs={'params': False, 'dropout': False},
+                       in_axes=0, out_axes=0)
+        # [bs, cams, H, W, 3] -> [cams, bs, H, W, 3]
+        _, feats = scan(self, None, images.transpose(1, 0, 2, 3, 4))
+        # tuple of [cams, bs, h, w, C] -> list of [1, bs, cams, h, w, C]
+        return [f.transpose(1, 0, 2, 3, 4)[None] for f in feats]
+
     # -------------------------------------------------------------- history
 
     def encode_history(self, feats, batch: ViDARBatch, img_hw,
@@ -309,10 +331,11 @@ class ViDAR(nn.Module):
             # Split the backbone: history frames carry no gradient (frozen
             # recurrence), so their activations must not be saved for the
             # backward pass — run them under stop_gradient in a separate
-            # call from the current frame.
+            # call from the current frame. The current (gradient) frame
+            # runs camera-sequential (see extract_feats_cam_scan).
             hist = jax.tree.map(jax.lax.stop_gradient,
                                 self.extract_feats(images[:, :-1]))
-            cur_f = self.extract_feats(images[:, -1:])
+            cur_f = self.extract_feats_cam_scan(images[:, -1])
             feats = [jnp.concatenate([hf, cf], axis=0)
                      for hf, cf in zip(hist, cur_f)]
         else:
