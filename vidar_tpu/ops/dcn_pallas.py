@@ -577,7 +577,7 @@ def dcn_sample16_available(h, w, c):
 
 
 def _dcn16_conv_kernel(w2: int, idx_ref, cw_ref, kp_ref, table_hbm,
-                       out_ref, table, sem):
+                       out_ref, table, tapbuf, sem):
     b = pl.program_id(0)
     qb = pl.program_id(1)
     s = cw_ref.shape[2] // 4
@@ -626,16 +626,26 @@ def _dcn16_conv_kernel(w2: int, idx_ref, cw_ref, kp_ref, table_hbm,
             tap_outs.append(acc_hi)
             tap_outs.append(acc_lo)
         taps = jnp.concatenate(tap_outs, axis=1)        # [QT, s*2*cl] f32
-        # bf16 round + MXU conv: bf16 x bf16 is exact on the MXU at
-        # DEFAULT precision; accumulation is f32 — same math as the XLA
-        # `taps.astype(bf16) @ kperm` this fuses away.
-        out_ref[0, pl.ds(q0, QT16), :] = jax.lax.dot_general(
-            taps.astype(jnp.bfloat16), kp_ref[:, :],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        tapbuf[pl.ds(q0, QT16), :] = taps
         return 0
 
     jax.lax.fori_loop(0, q_blk // QT16, tile, 0)
+
+    # ONE large-M conv matmul per q-block. The round-3 version ran the
+    # matmul inside each 8-query tile: M=8 rows streamed through the
+    # ~36-72 MXU weight tiles of [s*2*cl, co] — weight-load/fill-latency
+    # bound, and the dominant term of the 14.5 ms/call stage-3 kernel
+    # (round-4 trace). Staging taps in VMEM and convolving 128 queries at
+    # a time amortizes the weight tiles ~16x.
+    # bf16 round + MXU conv: bf16 x bf16 is exact on the MXU at DEFAULT
+    # precision; accumulation is f32 — same math as the XLA
+    # `taps.astype(bf16) @ kperm` this fuses away.
+    for m0 in range(0, q_blk, 128):
+        mm = min(128, q_blk - m0)
+        out_ref[0, m0:m0 + mm, :] = jax.lax.dot_general(
+            tapbuf[m0:m0 + mm, :].astype(jnp.bfloat16), kp_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=('w2', 'q_block', 'interpret'))
@@ -651,7 +661,7 @@ def dcn16_conv_gather(table16: jnp.ndarray, row_idx: jnp.ndarray,
     bsz, rrows, cl = table16.shape
     assert table16.dtype == jnp.uint32 and cl % 128 == 0
     _, q, s = row_idx.shape
-    assert q % q_block == 0 and q_block % QT16 == 0
+    assert q % q_block == 0 and q_block % QT16 == 0 and q_block % 128 == 0
     assert cw4.shape == (bsz, q, 4 * s)
     assert kperm.dtype == jnp.bfloat16 and kperm.shape[0] == s * 2 * cl
     co = kperm.shape[1]
@@ -676,6 +686,7 @@ def dcn16_conv_gather(table16: jnp.ndarray, row_idx: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((bsz, q, co), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((rrows, cl), jnp.uint32),
+            pltpu.VMEM((q_block, s * 2 * cl), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

@@ -237,7 +237,11 @@ def msda_gather_fused(atlas: jnp.ndarray, row_idx: jnp.ndarray,
     assert atlas.dtype == jnp.float32 and lanes == 4 * DIM
     _, s, q = row_idx.shape
     if qt is None:
-        qt = 32 if s <= 8 else 16
+        # round-4 chip sweep (benchmarks/kernel_sweep.py): S=24 @qt=32
+        # 46.8 ms vs 51.2 @16; S=8 @qt=64 21.3 vs 22.6 @32; S=4 @qt=64
+        # 16.0 vs 17.5 @32 — bigger tiles amortize the fixed per-tile
+        # MXU weight expansion and loop overhead.
+        qt = 64 if s <= 8 else 32
     assert q % q_block == 0 and q_block % qt == 0
     assert wx1.shape == wy1.shape == aw.shape == (c, s, q)
 
@@ -362,7 +366,7 @@ def msda_gather_fused16(atlas16: jnp.ndarray, row_idx: jnp.ndarray,
     assert atlas16.dtype == jnp.uint32 and lanes == 4 * DIM
     _, s, q = row_idx.shape
     if qt is None:
-        qt = 32 if s <= 8 else 16
+        qt = 64 if s <= 8 else 32   # see msda_gather_fused qt note
     assert q % q_block == 0 and q_block % qt == 0
     assert wx1.shape == wy1.shape == aw.shape == (c, s, q)
 
