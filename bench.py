@@ -25,13 +25,16 @@ import numpy as np
 A100_FORECAST_FPS_ESTIMATE = 0.5  # see module docstring + BASELINE.md
 
 # Reduced-cost flags for CI smoke (full run on TPU by default).
+import argparse
 import os
 SMOKE = os.environ.get('BENCH_SMOKE', '0') == '1'
 # 'nuscenes' (default, the driver metric) or 'openscene' (the second
 # released workload family: 8 cams, RandomScale 2/3 nuPlan images —
 # vidar_OpenScene_*_3future configs). Select with --variant openscene.
-VARIANT = 'openscene' if '--variant' in sys.argv and \
-    'openscene' in sys.argv else os.environ.get('BENCH_VARIANT', 'nuscenes')
+_ap = argparse.ArgumentParser(add_help=False)
+_ap.add_argument('--variant', choices=('nuscenes', 'openscene'),
+                 default=os.environ.get('BENCH_VARIANT', 'nuscenes'))
+VARIANT = _ap.parse_known_args()[0].variant
 
 
 def main():

@@ -71,10 +71,11 @@ def test_mot_pass_counts():
 
 
 def test_greedy_vs_hungarian_matchers():
-    """Greedy (devkit parity, the default) lets the high-score prediction
-    take the shared nearest gt even when that starves another prediction;
-    Hungarian trades it away to maximize matched pairs. This is exactly
-    the protocol difference quantified in docs/STATUS.md."""
+    """Greedy (the devkit DETECTION-eval convention) lets the high-score
+    prediction take the shared nearest gt even when that starves another
+    prediction; Hungarian/motmetrics trade it away to maximize matched
+    pairs. This is exactly the protocol difference quantified in
+    docs/STATUS.md."""
     # A (score .9) at 0; B (score .5) at 3. gt1 at 1.2 (in both gates),
     # gt2 at -1.5 (in A's gate only).
     frames = [dict(pred_xy=np.array([[0.0, 0.0], [3.0, 0.0]]),
@@ -89,5 +90,30 @@ def test_greedy_vs_hungarian_matchers():
     assert (g['tp'], g['fp'], g['fn']) == (1, 1, 1)
     # hungarian: A->gt2 (1.5), B->gt1 (1.8) -> 2 TP.
     assert (h['tp'], h['fp'], h['fn']) == (2, 0, 0)
-    # default matcher is devkit-greedy
-    assert _mot_pass(frames, 0.0, 2.0) == g
+    # with no prior correspondences the motmetrics matcher reduces to LAP
+    assert _mot_pass(frames, 0.0, 2.0, matcher='motmetrics') == h
+    # and it IS the default (devkit tracking eval runs py-motmetrics)
+    assert _mot_pass(frames, 0.0, 2.0) == h
+
+
+def test_motmetrics_continuity_preference():
+    """The motmetrics accumulator re-uses the previous frame's
+    correspondence when still inside the gate, even when a fresh LAP
+    solve would assign a closer pair — so no IDS is charged where plain
+    Hungarian would flip the pairing."""
+    # frame 0: gt7 matched to pred A (tid 1). frame 1: pred B (tid 2)
+    # is now CLOSER to gt7, but A is still inside the 2 m gate.
+    frames = [
+        dict(pred_xy=np.array([[0.0, 0.0]]), pred_score=np.array([0.9]),
+             pred_tid=np.array([1]), gt_xy=np.array([[0.2, 0.0]]),
+             gt_tid=np.array([7])),
+        dict(pred_xy=np.array([[1.5, 0.0], [0.1, 0.0]]),
+             pred_score=np.array([0.9, 0.9]), pred_tid=np.array([1, 2]),
+             gt_xy=np.array([[0.0, 0.0]]), gt_tid=np.array([7])),
+    ]
+    m = _mot_pass(frames, 0.0, 2.0, matcher='motmetrics')
+    # continuity: gt7 stays with pred tid 1 (1.5 m away) -> no IDS
+    assert m['ids'] == 0 and m['tp'] == 2
+    h = _mot_pass(frames, 0.0, 2.0, matcher='hungarian')
+    # plain LAP picks the closer pred tid 2 in frame 1 -> one switch
+    assert h['ids'] == 1

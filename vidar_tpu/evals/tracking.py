@@ -11,12 +11,15 @@ Re-implemented on numpy/scipy following the published protocol
     MOTAR = max(0, 1 - (IDS + FP + FN - (1 - r) * P) / (r * P))
     MOTP  = mean matched center distance
 * AMOTA / AMOTP = mean over achieved recall points;
-* frame-level matching defaults to the devkit's GREEDY score-ordered
-  matcher (highest-score prediction takes its nearest unmatched gt inside
-  the ``dist_th`` 2 m gate — nuscenes-devkit
-  ``tracking/mot.py``/``detection/algo.py`` convention); a Hungarian
-  matcher is available behind ``matcher='hungarian'`` (it differs in tie
-  cases where a globally-optimal assignment trades one pair for two).
+* frame-level matching defaults to ``'motmetrics'``: the py-motmetrics
+  ``MOTAccumulator.update`` convention the devkit tracking eval actually
+  runs (nuscenes-devkit ``tracking/algo.py`` feeds a gated distance matrix
+  into motmetrics) — correspondences from the previous frame are re-used
+  first when still inside the gate (match-continuity preference), then the
+  remaining pairs get an optimal LAP assignment. ``matcher='greedy'``
+  (score-ordered, the devkit DETECTION eval convention from
+  ``detection/algo.py``) and ``matcher='hungarian'`` (plain LAP, no
+  continuity preference) are available for comparison.
 
 Inputs mirror ``evals.detection``: dicts keyed by sample token, samples
 ordered in time, each with a ``scene`` key so tracks reset per scene.
@@ -61,7 +64,42 @@ def _frame_match_greedy(pred_xy, gt_xy, pred_score, dist_th):
     return out
 
 
-def _frame_match(pred_xy, gt_xy, pred_score, dist_th, matcher):
+def _frame_match_motmetrics(pred_xy, gt_xy, pred_tid, gt_tid, last_tid,
+                            dist_th):
+    """py-motmetrics ``MOTAccumulator.update`` matching order: re-establish
+    previous-frame correspondences still inside the gate, then LAP-assign
+    the rest. ``last_tid``: gt track id -> last matched pred track id
+    (persistent across frames, like the accumulator's ``self.m``)."""
+    if not len(pred_xy) or not len(gt_xy):
+        return []
+    cost = np.linalg.norm(pred_xy[:, None] - gt_xy[None], axis=-1)
+    p_used = np.zeros(len(pred_xy), bool)
+    g_used = np.zeros(len(gt_xy), bool)
+    out = []
+    pid_of = {int(t): i for i, t in enumerate(pred_tid)}
+    for gi, gt in enumerate(gt_tid):
+        prev = last_tid.get(int(gt))
+        if prev is None or prev not in pid_of:
+            continue
+        pi = pid_of[prev]
+        if not p_used[pi] and cost[pi, gi] <= dist_th:
+            p_used[pi] = True
+            g_used[gi] = True
+            out.append((pi, gi, float(cost[pi, gi])))
+    pr = np.where(~p_used)[0]
+    gr = np.where(~g_used)[0]
+    if len(pr) and len(gr):
+        for pi, gi, d in _frame_match_hungarian(pred_xy[pr], gt_xy[gr],
+                                                dist_th):
+            out.append((int(pr[pi]), int(gr[gi]), d))
+    return out
+
+
+def _frame_match(pred_xy, gt_xy, pred_score, dist_th, matcher,
+                 pred_tid=None, gt_tid=None, last_tid=None):
+    if matcher == 'motmetrics':
+        return _frame_match_motmetrics(pred_xy, gt_xy, pred_tid, gt_tid,
+                                       last_tid or {}, dist_th)
     if matcher == 'greedy':
         return _frame_match_greedy(pred_xy, gt_xy, pred_score, dist_th)
     assert matcher == 'hungarian', matcher
@@ -69,7 +107,7 @@ def _frame_match(pred_xy, gt_xy, pred_score, dist_th, matcher):
 
 
 def _mot_pass(frames: List[dict], score_th: float, dist_th: float,
-              matcher: str = 'greedy'):
+              matcher: str = 'motmetrics'):
     """One MOT accounting pass at a fixed score threshold.
 
     frames: per-frame dicts with pred_xy/pred_score/pred_tid and
@@ -84,7 +122,8 @@ def _mot_pass(frames: List[dict], score_th: float, dist_th: float,
         p_xy = fr['pred_xy'][keep]
         p_tid = fr['pred_tid'][keep]
         matches = _frame_match(p_xy, fr['gt_xy'], fr['pred_score'][keep],
-                               dist_th, matcher)
+                               dist_th, matcher, pred_tid=p_tid,
+                               gt_tid=fr['gt_tid'], last_tid=last_tid)
         matched_p = {m[0] for m in matches}
         matched_g = {m[1] for m in matches}
         tp += len(matches)
@@ -105,7 +144,7 @@ def evaluate_tracking(predictions: Dict[str, dict],
                       classes: Sequence[str],
                       dist_th: float = 2.0,
                       num_thresholds: int = 40,
-                      matcher: str = 'greedy') -> Dict[str, float]:
+                      matcher: str = 'motmetrics') -> Dict[str, float]:
     """AMOTA/AMOTP over per-sample tracked boxes.
 
     predictions[token]: dict(boxes [N,>=2] (xy first), scores [N],
@@ -113,7 +152,9 @@ def evaluate_tracking(predictions: Dict[str, dict],
     ground_truth[token]: dict(boxes [M,>=2], labels [M], track_ids [M],
       scene (str)).
     Tokens must iterate in temporal order (python dicts preserve it).
-    matcher: 'greedy' (devkit parity, default) or 'hungarian'.
+    matcher: 'motmetrics' (devkit tracking-eval parity: continuity-
+    preferred optimal assignment, default), 'greedy' (detection-eval
+    convention) or 'hungarian' (plain LAP).
     """
     per_class_amota, per_class_amotp, per_class_recall = {}, {}, {}
     totals = dict(tp=0, fp=0, fn=0, ids=0)

@@ -854,12 +854,22 @@ def _dcn_conv16_ref(x, sx, sy, mask, kperm):
                       preferred_element_type=jnp.float32)
 
 
-# conv-kernel VMEM budget for the fused conv (resident next to the table)
-KPERM_BUDGET_BYTES = 5_000_000
+# total VMEM budget for everything the fused conv keeps resident at once
+# (~16 MB/core, minus Mosaic's own working space)
+DCN_CONV16_VMEM_BUDGET_BYTES = 13_500_000
 
 
-def dcn_conv16_available(h, w, c, co):
-    """Fused deform-conv needs the dcn16 table + a VMEM-resident kperm +
-    128-lane-multiple output channels."""
-    return (dcn_sample16_available(h, w, c) and co % 128 == 0 and
-            9 * c * co * 2 <= KPERM_BUDGET_BYTES)
+def dcn_conv16_available(h, w, c, co, s=9, q_block=128):
+    """Fused deform-conv feasibility: 128-lane-multiple output channels and
+    the COMBINED VMEM residency of one kernel invocation — packed u32
+    table + bf16 kperm + f32 tapbuf scratch + double-buffered cw4/output
+    blocks — under one budget (gating table and kperm independently let
+    near-limit shapes pass the gate and then fail Mosaic allocation)."""
+    if not (dcn_sample16_available(h, w, c) and co % 128 == 0):
+        return False
+    table = (h + 2) * (w + 2) * (c // 2) * 4          # u32 channel pairs
+    kperm = s * c * co * 2                            # bf16, VMEM block
+    tapbuf = q_block * s * c * 4                      # f32 scratch
+    blocks = 2 * (q_block * 4 * s * 4 + q_block * co * 4)  # cw4 + out, 2x
+    return (table + kperm + tapbuf + blocks
+            <= DCN_CONV16_VMEM_BUDGET_BYTES)

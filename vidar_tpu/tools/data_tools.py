@@ -195,9 +195,10 @@ def kmeans_motion_anchors(infos_pkl: str, out_pkl: str, num_modes: int = 6,
                             info.get('instance_inds', []))
             if len(boxes) and len(toks):
                 rot, tr = global_pose(info)
-                ego_yaw = quaternion_yaw(info['ego2global_rotation'])
-                lidar_yaw = ego_yaw + quaternion_yaw(
-                    info['lidar2ego_rotation'])
+                # yaw of the COMPOSED lidar->global rotation (summing the
+                # yaws of chained 3D rotations is only exact for pure-z
+                # chains; real rigs carry roll/pitch in lidar2ego)
+                lidar_yaw = float(np.arctan2(rot[1, 0], rot[0, 0]))
                 for b, nm, tk in zip(boxes, list(names), list(toks)):
                     gi = group_of.get(str(nm))
                     if gi is None:

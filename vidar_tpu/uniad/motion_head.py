@@ -44,17 +44,24 @@ def load_motion_anchors(path: str) -> np.ndarray:
     (base_motion_head.py:41-44: ``anchors_all`` list of per-group [P, T, 2]
     arrays); generate one from any infos pkl with
     ``python -m vidar_tpu.tools.data_tools kmeans-anchors``.
+
+    The cache is keyed on (path, mtime) so regenerating the pickle
+    in-process serves the fresh anchors, and the cached array is
+    write-protected so callers can't corrupt it.
     """
-    return _load_motion_anchors_cached(path)
+    import os
+    return _load_motion_anchors_cached(path, os.stat(path).st_mtime_ns)
 
 
 @functools.lru_cache(maxsize=8)
-def _load_motion_anchors_cached(path: str) -> np.ndarray:
+def _load_motion_anchors_cached(path: str, _mtime_ns: int) -> np.ndarray:
     import pickle
     with open(path, 'rb') as f:
         infos = pickle.load(f)
-    return np.stack([np.asarray(a, np.float32)
-                     for a in infos['anchors_all']])
+    arr = np.stack([np.asarray(a, np.float32)
+                    for a in infos['anchors_all']])
+    arr.flags.writeable = False
+    return arr
 
 
 def default_anchors(num_groups: int = 4, num_modes: int = 6,
