@@ -116,6 +116,7 @@ def _ident(n):
 
 
 _DN0 = (((0,), (0,)), ((), ()))   # contract dim 0 of both operands
+_DN1 = (((1,), (0,)), ((), ()))   # standard matmul contraction
 
 
 def _t(x):
@@ -213,7 +214,8 @@ def _fused_kernel(qt, heads, idx_ref, wx_ref, wy_ref, aw_ref, atlas_ref,
         return 0
 
     jax.lax.fori_loop(0, q_blk // qt, tile, 0)
-    out_ref[0, :, :] = _t(accbuf[:, :])      # [q_blk, DIM] -> [DIM, q_blk]
+    for m in range(0, q_blk, 256):
+        out_ref[0, :, m:m + 256] = _t(accbuf[m:m + 256, :])      # [q_blk, DIM] -> [DIM, q_blk]
 
 
 @functools.partial(jax.jit, static_argnames=('q_block', 'interpret', 'qt'))
@@ -328,7 +330,8 @@ def _fused16_kernel(qt, idx_ref, wx_ref, wy_ref, aw_ref, atlas_ref, out_ref,
         return 0
 
     jax.lax.fori_loop(0, q_blk // qt, tile, 0)
-    out_ref[0, :, :] = _t(accbuf[:, :])
+    for m in range(0, q_blk, 256):
+        out_ref[0, :, m:m + 256] = _t(accbuf[m:m + 256, :])
 
 
 def pack_atlas16(atlas: jnp.ndarray) -> jnp.ndarray:
