@@ -23,6 +23,9 @@ import time
 import numpy as np
 
 A100_FORECAST_FPS_ESTIMATE = 0.5  # see module docstring + BASELINE.md
+# same roofline at the OpenScene eval shape (8 cams, 736x1280):
+# benchmarks/a100_roofline.py --openscene -> [0.376 fp32, 0.663 tf32]
+A100_OPENSCENE_FPS_ESTIMATE = 0.52
 
 # Reduced-cost flags for CI smoke (full run on TPU by default).
 import argparse
@@ -101,11 +104,13 @@ def main():
     dt = (time.perf_counter() - t0) / iters
 
     fps = bs / dt
+    denom = (A100_OPENSCENE_FPS_ESTIMATE if VARIANT == 'openscene'
+             else A100_FORECAST_FPS_ESTIMATE)
     print(json.dumps({
         'metric': 'forecast_frames_per_sec',
         'value': round(fps, 4),
         'unit': 'samples/s (5-frame history + 6-future forecast)',
-        'vs_baseline': round(fps / A100_FORECAST_FPS_ESTIMATE, 3),
+        'vs_baseline': round(fps / denom, 3),
     }))
 
 

@@ -88,9 +88,10 @@ def resnet101_dcn_macs(h, w):
     return macs
 
 
-def main(conv_tf32: bool = True):
-    img_macs = resnet101_dcn_macs(IMG_H, IMG_W)
-    n_imgs = NUM_CAMS * FRAMES
+def main(conv_tf32: bool = True, img_h=IMG_H, img_w=IMG_W,
+         num_cams=NUM_CAMS, future=FUTURE, quiet=False):
+    img_macs = resnet101_dcn_macs(img_h, img_w)
+    n_imgs = num_cams * FRAMES
     backbone_tflops = 2 * img_macs * n_imgs / 1e12
     conv_rate = (A100['tf32_tflops'] if conv_tf32 else
                  A100['fp32_tflops']) * CONV_EFF
@@ -102,9 +103,9 @@ def main(conv_tf32: bool = True):
     tsa_gemm = BEV * C * C * 3 + BEV * (2 * C) * (
         HEADS * 2 * 1 * 4 * 3)        # value/out proj + offset/weight heads
     # SCA runs offset/weight/value on the rebatched ~35% visible queries x6
-    vis_q = int(0.35 * BEV) * NUM_CAMS
+    vis_q = int(0.35 * BEV) * num_cams
     sca_gemm = (vis_q * C * (HEADS * LEVELS * POINTS * 3) +
-                NUM_CAMS * (IMG_H // 8) * (IMG_W // 8) * 1.33 * C * C +
+                num_cams * (img_h // 8) * (img_w // 8) * 1.33 * C * C +
                 BEV * C * C)          # value proj over pyramid + out proj
     ffn_gemm = BEV * C * 512 * 2
     latent_gemm = BEV * C * (C // 16) * 2  # LoRA down/up at one layer
@@ -125,9 +126,9 @@ def main(conv_tf32: bool = True):
     # future rollout: 6 steps x 3 decoder layers (self+cross deform attn on
     # 40k queries, points 4/8) + per-layer MLP heads
     dec_samples = BEV * HEADS * (1 * 4 + 1 * 8)
-    dec_gather_bytes = FUTURE * DEC_LAYERS * dec_samples * 512.0
-    dec_gemm = FUTURE * DEC_LAYERS * (
-        BEV * C * C * 4 + BEV * C * 512 * 2) + FUTURE * BEV * C * 16 * 5
+    dec_gather_bytes = future * DEC_LAYERS * dec_samples * 512.0
+    dec_gemm = future * DEC_LAYERS * (
+        BEV * C * C * 4 + BEV * C * 512 * 2) + future * BEV * C * 16 * 5
     dec_s = (dec_gather_bytes / (A100['hbm_tbps'] * 1e12 * GATHER_EFF) +
              2 * dec_gemm / 1e12 / (A100['fp32_tflops'] * GEMM_EFF))
 
@@ -152,19 +153,80 @@ def main(conv_tf32: bool = True):
         'total_s_per_sample': round(total_s, 3),
         'samples_per_s': round(1.0 / total_s, 3),
     }
+    if not quiet:
+        print(json.dumps(report, indent=2))
+    return report
+
+
+
+# ------------------------------------------------------------- train step
+# The reference trains the flagship shape at bs 1/GPU on A100-80G in fp32
+# (tools/train.py:141-144 close_tf32; configs/vidar_pretrain/nusc_1_8_subset/
+# vidar_1_8_nusc_3future.py: queue 4+1, 3 futures, ~63 GB, README.md:143-148).
+# Train-step cost model: forward (future=3) + backward at the standard
+# conv/GEMM adjoint ratio (dL/dx + dL/dw ~= 2x forward FLOPs) and a 3x
+# multiplier on the gather phases (forward gather + value-grad scatter +
+# location-grad pass, mirroring the mmcv CUDA backward's three accumulation
+# streams), plus the ray-supervision render (dvr autograd, ~2x the eval
+# latent-render bytes) and a 5% optimizer/EMA overhead.
+BWD_COMPUTE_MULT = 3.0     # fwd + bwd(2x) for convs/GEMMs
+BWD_GATHER_MULT = 3.0      # fwd gather + scatter-grad + loc-grad
+TRAIN_FUTURE = 3
+
+
+def train_step(conv_tf32: bool = False, img_h=IMG_H, img_w=IMG_W,
+               num_cams=NUM_CAMS):
+    fwd = main(conv_tf32=conv_tf32, img_h=img_h, img_w=img_w,
+               num_cams=num_cams, future=TRAIN_FUTURE, quiet=True)
+    compute_s = fwd['backbone_s'] + fwd['encoder_gemm_s']
+    gather_s = fwd['encoder_gather_s'] + fwd['rollout_s'] + fwd['decode_s']
+    # ray-supervision sampling/render in the loss (dvr.cu autograd): the
+    # train loss re-renders ~BEV rays x 512 grid steps fwd+bwd
+    ray_bytes = (1 + TRAIN_FUTURE) * BEV * 512 * 4 * 4 * 2
+    ray_s = ray_bytes / (A100['hbm_tbps'] * 1e12 * GATHER_EFF)
+    total = (compute_s * BWD_COMPUTE_MULT + gather_s * BWD_GATHER_MULT +
+             ray_s) * 1.05
+    # the same 15% launch-overhead floor as forward (kernel count ~3x)
+    total *= 1.15
+    report = {
+        'conv_tf32': conv_tf32,
+        'fwd_s': fwd['total_s_per_sample'],
+        'train_s_per_it': round(total, 2),
+        'it_per_s': round(1.0 / total, 4),
+    }
     print(json.dumps(report, indent=2))
     return report
 
 
 if __name__ == '__main__':
-    # upper bound: cuDNN convs ride TF32 tensor cores (PyTorch<=1.11
-    # default; the reference's close_tf32 switch lives in the TRAIN CLI
-    # only, tools/train.py:141-144)
-    hi = main(conv_tf32=True)
-    # lower bound: fp32 CUDA-core convs (the training configuration)
-    lo = main(conv_tf32=False)
-    print(json.dumps({
-        'a100_forecast_fps_range': [lo['samples_per_s'],
-                                    hi['samples_per_s']],
-        'bench_py_central_estimate': 0.5,
-    }))
+    import sys
+    if '--train' in sys.argv:
+        # training runs fp32 (the reference force-disables TF32 in the
+        # train CLI); print the TF32 bound too for completeness
+        lo = train_step(conv_tf32=False)
+        hi = train_step(conv_tf32=True)
+        print(json.dumps({
+            'a100_train_s_per_it_range': [hi['train_s_per_it'],
+                                          lo['train_s_per_it']],
+            'note': 'fp32 (reference close_tf32) is the faithful setting',
+        }))
+    elif '--openscene' in sys.argv:
+        # OpenScene eval shape: 8 cams, 1080x1920 scaled 2/3 -> 736x1280
+        hi = main(conv_tf32=True, img_h=736, img_w=1280, num_cams=8)
+        lo = main(conv_tf32=False, img_h=736, img_w=1280, num_cams=8)
+        print(json.dumps({
+            'a100_openscene_forecast_fps_range': [lo['samples_per_s'],
+                                                  hi['samples_per_s']],
+        }))
+    else:
+        # upper bound: cuDNN convs ride TF32 tensor cores (PyTorch<=1.11
+        # default; the reference's close_tf32 switch lives in the TRAIN CLI
+        # only, tools/train.py:141-144)
+        hi = main(conv_tf32=True)
+        # lower bound: fp32 CUDA-core convs (the training configuration)
+        lo = main(conv_tf32=False)
+        print(json.dumps({
+            'a100_forecast_fps_range': [lo['samples_per_s'],
+                                        hi['samples_per_s']],
+            'bench_py_central_estimate': 0.5,
+        }))

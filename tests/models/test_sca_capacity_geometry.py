@@ -2,7 +2,9 @@
 
 The compaction keeps ``cap = capacity_ratio * bev_h * bev_w`` queries per
 camera (models/attention.py); nuScenes scans peak at ~0.35 but until real
-infos are scanned the 0.37 default was an untested bet (VERDICT r3 weak #6).
+infos are scanned the default was an untested bet (VERDICT r3 weak #6);
+round 5 measured the realistic-rig peaks (0.247 / 0.191) through this
+projection code and set the production default to 0.30.
 These tests build synthetic 6-cam nuScenes-like and 8-cam OpenScene-like
 rigs from first principles (real focal lengths / image sizes / mounting
 yaws) and check the per-camera visible-query fraction of the 200x200 BEV
@@ -17,6 +19,10 @@ from vidar_tpu.models.encoder import (sca_overflow_count, point_sampling,
                                       reference_points_3d)
 
 PC_RANGE = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+
+# the production default (vidar_tpu/configs.py sca_capacity_ratio)
+from vidar_tpu.configs import vidar_base
+CAP = vidar_base()['sca_capacity_ratio']
 
 
 def _rig_lidar2img(yaws_deg, img_hw, focal, cam_height=1.6):
@@ -55,15 +61,15 @@ def _peak_visible_fraction(l2i, img_hw, bev=200):
 def test_nuscenes_6cam_rig_fits_capacity():
     """6 cams: 5 x ~64 deg FOV (f=1266 @ 1600px) + 110 deg back cam
     (f=809), nuScenes mounting yaws. Peak per-camera visibility must stay
-    under the production capacity_ratio=0.37 with margin."""
+    under the production capacity_ratio with margin."""
     yaws = [0.0, -55.0, 55.0, 180.0, -110.0, 110.0]
     l2i = _rig_lidar2img(yaws, (928, 1600), focal=1266.0)
     l2i[3] = _rig_lidar2img([180.0], (928, 1600), focal=809.0)[0]
     frac, vis = _peak_visible_fraction(l2i, (928, 1600))
-    assert 0.15 < frac <= 0.37, frac
-    # the model-side guard agrees: no dropped queries at 0.37
+    assert 0.15 < frac <= CAP, frac
+    # the model-side guard agrees: no dropped queries at the default
     ovf = sca_overflow_count(jnp.asarray(l2i)[None], (928, 1600), 200, 200,
-                             PC_RANGE, 0.37)
+                             PC_RANGE, CAP)
     assert int(ovf) == 0
     # and the grid is actually covered (cameras overlap -> every ground
     # query in range is seen by >= 1 camera away from the ego blind zone)
@@ -73,29 +79,31 @@ def test_nuscenes_6cam_rig_fits_capacity():
 def test_openscene_8cam_rig_fits_capacity():
     """8 cams at 45 deg spacing (nuPlan: 1920x1080, f~1545 -> ~64 deg FOV,
     downscaled 2/3 by RandomScaleImageMultiViewImage like the OpenScene
-    configs). Narrower wedges than nuScenes -> must also fit 0.37."""
+    configs). Narrower wedges than nuScenes -> must also fit the
+    production capacity."""
     yaws = list(np.arange(8) * 45.0)
     img_hw = (736, 1280)   # 1080x1920 * 2/3, padded /32
     l2i = _rig_lidar2img(yaws, img_hw, focal=1545.0 * 2 / 3)
     frac, vis = _peak_visible_fraction(l2i, img_hw)
-    assert 0.1 < frac <= 0.37, frac
+    assert 0.1 < frac <= CAP, frac
     ovf = sca_overflow_count(jnp.asarray(l2i)[None], img_hw, 200, 200,
-                             PC_RANGE, 0.37)
+                             PC_RANGE, CAP)
     assert int(ovf) == 0
     assert vis.any(0).mean() > 0.9
 
 
 def test_wide_fov_rig_overflows_and_is_caught():
-    """A hypothetical 3-cam 150-deg-FOV fisheye rig EXCEEDS 0.37 — the
-    guard must report the overflow rather than silently dropping queries.
-    (A 120-deg rig still fits: measured 0.356 — the 0.37 capacity holds
-    for every realistic pinhole rig.)"""
+    """A hypothetical 3-cam 150-deg-FOV fisheye rig EXCEEDS the
+    production capacity — the guard must report the overflow rather than
+    silently dropping queries (wide-FOV rigs need an explicit
+    sca_capacity_ratio override, e.g. 0.4 for a 120-deg rig whose peak
+    is 0.356)."""
     yaws = [0.0, 120.0, -120.0]
     # FOV 2*atan(w/2f) = 150 deg -> f = w / (2 tan75)
     l2i = _rig_lidar2img(yaws, (928, 1600), focal=1600 / (2 * np.tan(
         np.deg2rad(75))))
     frac, _ = _peak_visible_fraction(l2i, (928, 1600))
-    assert frac > 0.37, frac
+    assert frac > CAP, frac
     ovf = sca_overflow_count(jnp.asarray(l2i)[None], (928, 1600), 200, 200,
-                             PC_RANGE, 0.37)
+                             PC_RANGE, CAP)
     assert int(ovf) > 0

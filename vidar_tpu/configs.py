@@ -47,12 +47,17 @@ def vidar_base(**overrides) -> Dict[str, Any]:
         encoder_num_layers=6,
         latent_render_lids=(2,),
         latent_render_cfg=dict(LATENT_RENDER_CFG),
-        # SCA visible-query capacity: nuScenes per-camera visibility peaks
-        # ~0.35 of num_query (docs/PERFORMANCE.md); 0.37 keeps a small
-        # margin and cuts the SCA gather ~26% vs the safe 0.5 default. The
-        # sowed sca_capacity_overflow intermediate validates a setting on
-        # real data (must stay zero).
-        sca_capacity_ratio=0.37,
+        # SCA visible-query capacity: per-camera visibility measured
+        # through the production projection code on geometrically
+        # realistic rigs peaks at 0.247 (nuScenes 6-cam, the ~90deg back
+        # cam) and 0.191 (OpenScene 8-cam) of num_query
+        # (tests/models/test_sca_capacity_geometry.py). 0.30 keeps ~21%
+        # margin for real-rig pose variation while cutting the SCA
+        # gather/prep ~19% vs the old 0.37. The sowed
+        # sca_capacity_overflow intermediate + the train-CLI guard catch
+        # any rig that exceeds it; scan real infos with
+        # `tools/analysis.py visibility-scan` before lowering further.
+        sca_capacity_ratio=0.30,
     )
     cfg.update(overrides)
     return cfg

@@ -376,7 +376,13 @@ class SpatialCrossAttention(nn.Module):
             # permutation: TPU scatters serialize, gathers vectorize. Row
             # ``cap`` is an appended zero row — the sentinel for unselected
             # slots AND invalid (padding) selections, which also replaces
-            # the explicit sel_valid masking.
+            # the explicit sel_valid masking. In bf16 mode the rows are
+            # rounded BEFORE the expansion (half the gather traffic,
+            # ~0.9 ms/layer-call) — output_proj would cast them to bf16
+            # right after anyway; only the <=num_cams-term slot sum keeps
+            # marginally less precision.
+            if self.dtype is not None and self.dtype != cam_out.dtype:
+                cam_out = cam_out.astype(self.dtype)
             cam_out_p = jnp.concatenate(
                 [cam_out, jnp.zeros((bs, num_cams, 1, self.embed_dims),
                                     cam_out.dtype)], axis=2)
