@@ -510,9 +510,10 @@ def tables_from_packed_raw(packed_raw, kernel, bias, heads,
     floor). The interior-indicator channel carries the bias so zero-ring
     corners stay exactly zero.
 
-    Returns (tables: tuple over levels of [B*heads, rows8, 128] f32,
-    table_rows: tuple of padded row counts) matching the
-    ``_prep_group_fwd`` contract.
+    Returns (tables: tuple over levels of [B, rows8, heads*128] f32 —
+    the fold matmul's natural layout, consumed directly by the kernel's
+    lane-slice DMA — and table_rows: tuple of padded row counts) matching
+    the ``_prep_group_fwd`` contract.
     """
     cin = kernel.shape[0]
     assert kernel.shape[1] == heads * DIM_TABLE and bias.shape == (
@@ -541,11 +542,12 @@ def tables_from_packed_raw(packed_raw, kernel, bias, heads,
             # match the reference path's Dense(dtype=bf16) output rounding
             out = out.astype(round_dtype)
         out = out.astype(jnp.float32)
-        # keep the dot's NATURAL head-minor layout [B, rows, heads, 4*DIM]:
-        # the fused kernel DMAs a strided per-(b, head) slice, so the old
-        # head-major transpose (two extra HBM passes over the ~770 MB
-        # 4x-expanded f32 SCA tables, per layer) is gone.
-        tables.append(out.reshape(b, rows, heads, 4 * DIM_TABLE))
+        # keep the dot's NATURAL layout [B, rows, heads*4*DIM] untouched:
+        # the fused kernel DMAs a 128-aligned per-(b, head) LANE slice, so
+        # neither a head-major transpose (round 3) nor the 4D-reshape
+        # relayout copy XLA inserted at the pallas boundary (round 4
+        # trace copy.1714, ~580 MB x2 per layer for level 0) remains.
+        tables.append(out)
         table_rows.append(rows)
     return tuple(tables), tuple(table_rows)
 
@@ -601,7 +603,7 @@ def _msda_tables_bwd(spatial_shapes, table_rows, res, g):
     from vidar_tpu.ops.msda_pallas import msda_gather_fused_bwd
     tables, loc, weights = res
     b, q, heads, num_levels, p, _ = loc.shape
-    dim = tables[0].shape[-1] // 4
+    dim = DIM_TABLE
     q_block = 256
     qp = q + ((-q) % q_block)
     groups = _fused_plan(spatial_shapes, packed16=False)
@@ -639,10 +641,11 @@ def _msda_tables_bwd(spatial_shapes, table_rows, res, g):
         start = 0
         for i, (lvl, a, bcol) in enumerate(entries):
             rows_l = table_rows[lvl]
-            # datlas is flat [B*H, rows, 128]; tables are head-minor
-            # [B, rows, H, 128] (transpose only here, on the train path)
+            # datlas is flat [B*H, rows, 128]; tables are head-folded
+            # [B, rows, H*128] (transpose only here, on the train path)
             dt = datlas[:, start:start + rows_l].reshape(
-                b, heads, rows_l, 4 * dim).transpose(0, 2, 1, 3)
+                b, heads, rows_l, 4 * dim).transpose(0, 2, 1, 3).reshape(
+                b, rows_l, heads * 4 * dim)
             dtab[lvl] = dtab[lvl] + dt
             start += rows_l
             # whole-level entries: no column-chunk masking needed

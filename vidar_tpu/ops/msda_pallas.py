@@ -188,7 +188,8 @@ def _fused_kernel(qt, heads, idx_ref, wx_ref, wy_ref, aw_ref, atlas_ref,
     @pl.when(qb == 0)
     def _():
         src = (atlas_ref.at[c] if heads == 0
-               else atlas_ref.at[c // heads, :, c % heads])
+               else atlas_ref.at[c // heads, :,
+                                 pl.ds((c % heads) * 4 * DIM, 4 * DIM)])
         cp = pltpu.make_async_copy(src, table, sem)
         cp.start()
         cp.wait()
@@ -230,13 +231,10 @@ def msda_gather_fused(atlas: jnp.ndarray, row_idx: jnp.ndarray,
     [C, S, Q] f32 bilinear fractions + masked attention weight; corner
     weights are expanded IN-KERNEL once per q-block (``_cw4_block_t``).
     """
-    if atlas.ndim == 4:
-        b4, r, heads, lanes = atlas.shape
-        c = b4 * heads
-    else:
-        c, r, lanes = atlas.shape
-        heads = 0
-    assert atlas.dtype == jnp.float32 and lanes == 4 * DIM
+    cb, r, lanes = atlas.shape
+    assert atlas.dtype == jnp.float32 and lanes % (4 * DIM) == 0
+    heads = 0 if lanes == 4 * DIM else lanes // (4 * DIM)
+    c = cb * max(heads, 1)
     _, s, q = row_idx.shape
     if qt is None:
         # round-4 chip sweep (benchmarks/kernel_sweep.py): S=24 @qt=32
@@ -262,7 +260,7 @@ def msda_gather_fused(atlas: jnp.ndarray, row_idx: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, DIM, q), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((r, lanes), jnp.float32),
+            pltpu.VMEM((r, 4 * DIM), jnp.float32),
             pltpu.VMEM((q_block, 4 * s), jnp.float32),
             pltpu.VMEM((q_block, DIM), jnp.float32),
             pltpu.SemaphoreType.DMA,
@@ -436,7 +434,8 @@ def _bwd_weights_kernel(heads, idx_ref, wx_ref, wy_ref, aw_ref, dout_ref,
     @pl.when(qb == 0)
     def _():
         src = (atlas_ref.at[c] if heads == 0
-               else atlas_ref.at[c // heads, :, c % heads])
+               else atlas_ref.at[c // heads, :,
+                                 pl.ds((c % heads) * 4 * DIM, 4 * DIM)])
         cp = pltpu.make_async_copy(src, table, sem)
         cp.start()
         cp.wait()
@@ -553,15 +552,13 @@ def msda_gather_fused_bwd(atlas: jnp.ndarray, row_idx: jnp.ndarray,
     """Backward of ``msda_gather_fused``.
 
     dout: [C, DIM, Q] f32. Returns (datlas [C, R, 128] — always flat, even
-    for a 4D head-minor atlas — plus dwx1, dwy1, daw each [C, S, Q] f32).
+    for a head-folded [B, R, heads*128] atlas — plus dwx1, dwy1, daw each
+    [C, S, Q] f32).
     """
-    if atlas.ndim == 4:
-        b4, r, heads, lanes = atlas.shape
-        c = b4 * heads
-    else:
-        c, r, lanes = atlas.shape
-        heads = 0
-    assert atlas.dtype == jnp.float32 and lanes == 4 * DIM
+    cb, r, lanes = atlas.shape
+    assert atlas.dtype == jnp.float32 and lanes % (4 * DIM) == 0
+    heads = 0 if lanes == 4 * DIM else lanes // (4 * DIM)
+    c = cb * max(heads, 1)
     _, s, q = row_idx.shape
     assert q % q_block == 0 and q_block % QT == 0
 
@@ -579,7 +576,7 @@ def msda_gather_fused_bwd(atlas: jnp.ndarray, row_idx: jnp.ndarray,
                   pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=(qspec, qspec, qspec),
         out_shape=(jax.ShapeDtypeStruct((c, s, q), jnp.float32),) * 3,
-        scratch_shapes=[pltpu.VMEM((r, lanes), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((r, 4 * DIM), jnp.float32),
                         pltpu.VMEM((q_block, 3 * s + DIM), jnp.float32),
                         pltpu.VMEM((q_block, 3 * s), jnp.float32),
                         pltpu.SemaphoreType.DMA],
@@ -591,8 +588,8 @@ def msda_gather_fused_bwd(atlas: jnp.ndarray, row_idx: jnp.ndarray,
         grid=(c, q // q_block),
         in_specs=[ispec, qspec, qspec, qspec, dspec],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((c, r, lanes), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((r, lanes), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((c, r, 4 * DIM), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((r, 4 * DIM), jnp.float32),
                         pltpu.VMEM((q_block, 4 * s), jnp.float32),
                         pltpu.VMEM((q_block, DIM), jnp.float32),
                         pltpu.SemaphoreType.DMA],
