@@ -278,3 +278,76 @@ def test_aggregate_pallas_bwd_column_split(monkeypatch):
     assert len(lr._col_chunks(h, w, 2 * c_r, budget=10_000)) > 1
     np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_xla),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_first_hit_pallas_bwd_matches_xla(monkeypatch):
+    """The round-5 Pallas first-hit backward (K1 prefix/suffix dlogit +
+    K2 column-chunked table scatter) must match autodiff through the XLA
+    oracle on the same bf16-rounded occupancy."""
+    import jax
+    import jax.numpy as jnp
+    from vidar_tpu.models import latent_rendering as lr
+
+    rng = np.random.default_rng(13)
+    bs, h, w, z, g = 1, 10, 12, 4, 6
+    occ = jnp.asarray(rng.normal(size=(bs, h, w, z)).astype(np.float32))
+    occ16 = occ.astype(jnp.bfloat16)
+    grids = jnp.asarray(lr._bev_center_grids(h, w))[None]
+    radial = grids - 0.5
+    rn = jnp.nan_to_num(radial / jnp.sqrt((radial ** 2).sum(-1,
+                                                            keepdims=True)))
+    steps = (jnp.arange(g, dtype=jnp.float32) + 0.5) * (0.5 / (min(h, w)//2))
+
+    monkeypatch.setattr(lr, '_PALLAS_FH_BWD_ON_CPU', True)
+    for act in ('sigmoid', 'exp'):
+        def loss_xla(o):
+            return (lr._first_hit_xla(o, grids, rn, steps, act, 4096)
+                    .astype(jnp.float32) ** 2).sum()
+
+        def loss_pal(o):
+            return (lr._first_hit(o, grids, rn, steps, act, 4096)
+                    .astype(jnp.float32) ** 2).sum()
+
+        g_xla = jax.grad(loss_xla)(occ16).astype(jnp.float32)
+        g_pal = jax.grad(loss_pal)(occ16).astype(jnp.float32)
+        np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_xla),
+                                   atol=2e-4, rtol=2e-3)
+
+
+def test_first_hit_pallas_bwd_column_split(monkeypatch):
+    """Force >1 gradient column chunk (small budget) and check parity."""
+    import jax
+    import jax.numpy as jnp
+    from vidar_tpu.models import latent_rendering as lr
+
+    rng = np.random.default_rng(17)
+    bs, h, w, z, g = 1, 12, 20, 4, 5
+    occ16 = jnp.asarray(rng.normal(size=(bs, h, w, z))
+                        .astype(np.float32)).astype(jnp.bfloat16)
+    grids = jnp.asarray(lr._bev_center_grids(h, w))[None]
+    radial = grids - 0.5
+    rn = jnp.nan_to_num(radial / jnp.sqrt((radial ** 2).sum(-1,
+                                                            keepdims=True)))
+    steps = (jnp.arange(g, dtype=jnp.float32) + 0.5) * (0.5 / (min(h, w)//2))
+
+    monkeypatch.setattr(lr, '_PALLAS_FH_BWD_ON_CPU', True)
+    orig = lr._col_chunks
+
+    def tiny_chunks(h_, w_, c_, budget=12_600_000):
+        return orig(h_, w_, c_, budget=min(budget, (h_ + 1) * 4 * c_ * 4
+                                           * (w_ // 2 + 1)))
+
+    monkeypatch.setattr(lr, '_col_chunks', tiny_chunks)
+
+    def loss_xla(o):
+        return (lr._first_hit_xla(o, grids, rn, steps, 'sigmoid', 4096)
+                .astype(jnp.float32) ** 2).sum()
+
+    def loss_pal(o):
+        return (lr._first_hit(o, grids, rn, steps, 'sigmoid', 4096)
+                .astype(jnp.float32) ** 2).sum()
+
+    g_xla = jax.grad(loss_xla)(occ16).astype(jnp.float32)
+    g_pal = jax.grad(loss_pal)(occ16).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_xla),
+                               atol=2e-4, rtol=2e-3)

@@ -32,6 +32,7 @@ from .layers import TorchLinear
 # tests flip this to drive the Pallas aggregation backward in interpret
 # mode on the CPU backend (production CPU keeps the autodiff-XLA oracle)
 _PALLAS_AGG_BWD_ON_CPU = False
+_PALLAS_FH_BWD_ON_CPU = False
 
 
 def _scan_cells(block_fn, per_cell_args, n: int, chunk: int, bs: int,
@@ -233,11 +234,65 @@ def _first_hit_fwd(occ_pred, grids, radial_norm, steps, act, ray_chunk):
 
 
 def _first_hit_bwd(act, ray_chunk, res, g):
+    """Pallas backward (round 5): K1 computes per-waypoint dlogit with an
+    in-kernel prefix/suffix-product sweep (no division, saturation-safe),
+    K2 scatters the bilinear-weighted dlogit into a column-chunked f32
+    packed-corner table gradient. Replaces the XLA-recompute fallback that
+    measured 730 ms/call at the production shape (~27x the fused forward;
+    benchmarks/first_hit_bwd_bench.py). Only d(occ_pred) is produced —
+    grids/radial/steps are geometry."""
     occ_pred, grids, radial_norm, steps = res
-    _, vjp = jax.vjp(
-        lambda o: _first_hit_xla(o, grids, radial_norm, steps, act,
-                                 ray_chunk), occ_pred)
-    return vjp(g) + (None, None, None)
+    bs, h, w, zdim = occ_pred.shape
+    zp = 32
+    packed16 = (occ_pred.dtype == jnp.bfloat16 and
+                (h + 1) * (w + 1) * 128 * 2 <= 12_600_000)
+    if jax.default_backend() == 'cpu' and not _PALLAS_FH_BWD_ON_CPU:
+        packed16 = False          # interpret-mode scatter is very slow
+    if not packed16:
+        # f32 models / oversized maps: XLA-recompute fallback
+        _, vjp = jax.vjp(
+            lambda o: _first_hit_xla(o, grids, radial_norm, steps, act,
+                                     ray_chunk), occ_pred)
+        return vjp(g) + (None, None, None)
+
+    from ..ops.latent_render_pallas import ray_prob_dlogit, ray_prob_scatter
+    from ..ops.msda_pallas import pack_atlas16
+    interpret = jax.default_backend() == 'cpu'
+    n = grids.shape[1]
+    occ = jnp.pad(occ_pred.astype(jnp.bfloat16),
+                  ((0, 0), (0, 0), (0, 0), (0, zp - zdim)))
+    path_n = _cell_path(grids, radial_norm, steps)
+    path_len = jnp.sqrt((path_n ** 2).sum(-1))
+    inside = (path_len < path_len[..., -1:]).astype(jnp.float32)
+    occ_full = jnp.pad(occ, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    table = pack_atlas16(_packed_col_chunk(occ_full, 0, w + 1))
+    row, cw4, _ = _path_rows(path_n, h, w)
+    lastm = jnp.ones((bs, n, 1), jnp.float32)
+    gp = jnp.pad(g.astype(jnp.float32),
+                 ((0, 0), (0, 0), (0, zp - zdim)))
+    (row, cw4, mask, lastm, gp), _ = _pad_q(
+        [row, cw4, inside, lastm, gp], n)
+    dlogit = ray_prob_dlogit(table, row, cw4, mask, lastm, gp, act=act,
+                             zdim=zdim, interpret=interpret)
+
+    docc_full = jnp.zeros((bs, h + 2, w + 2, zp), jnp.float32)
+    for (a, bcol) in _col_chunks(h, w, zp, budget=10_500_000):
+        wc = bcol - a + 1
+        rowc, cwc, _ = _path_rows(path_n, h, w, col_range=(a, bcol))
+        (rowc, cwc), _ = _pad_q([rowc, cwc], n)
+        rows_c = (h + 1) * wc
+        dtab = ray_prob_scatter(rowc, cwc, dlogit, rows=rows_c,
+                                zdim=zdim, interpret=interpret)
+        dp = dtab[:, :rows_c].reshape(bs, h + 1, wc, 4 * zp)
+        docc_full = docc_full.at[:, :-1, a:a + wc].add(dp[..., :zp])
+        docc_full = docc_full.at[:, :-1, a + 1:a + wc + 1].add(
+            dp[..., zp:2 * zp])
+        docc_full = docc_full.at[:, 1:, a:a + wc].add(
+            dp[..., 2 * zp:3 * zp])
+        docc_full = docc_full.at[:, 1:, a + 1:a + wc + 1].add(
+            dp[..., 3 * zp:])
+    docc = docc_full[:, 1:-1, 1:-1, :zdim].astype(occ_pred.dtype)
+    return (docc, None, None, None)
 
 
 _first_hit.defvjp(_first_hit_fwd, _first_hit_bwd)
@@ -386,9 +441,16 @@ def _aggregate_bwd(c_r, zdim, eps, ray_chunk, res, g):
                       ((0, 0), (1, 1), (1, 1), (0, 0)))
     dfm_full = jnp.zeros_like(fm_full)
     c2 = cdim2
-    for (a, bcol) in _col_chunks(h, w, 2 * c_r, budget=5_500_000):
+    # bf16 maps ride u32 row-pair value tables (exact): the f32 gradient
+    # accumulator then fits next to a LARGER chunk -> 3 chunks not 4
+    packed16 = fused_map.dtype == jnp.bfloat16
+    budget = 8_000_000 if packed16 else 5_500_000
+    for (a, bcol) in _col_chunks(h, w, 2 * c_r, budget=budget):
         wc = bcol - a + 1
         packed = _packed_col_chunk(fm_full, a, wc)
+        if packed16:
+            from ..ops.msda_pallas import pack_atlas16
+            packed = pack_atlas16(packed)
         row, cw4, _ = _path_rows(way_n, h, w, col_range=(a, bcol))
         cw4 = cw4 * jnp.repeat(way_valid, 4, axis=-1)
         (row_p, cw4_p, dfb_p), _ = _pad_q([row, cw4, dfb], n)
