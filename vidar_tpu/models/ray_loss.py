@@ -24,7 +24,10 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional, Sequence
 
+import functools
+
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 Array = jnp.ndarray
