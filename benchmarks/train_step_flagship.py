@@ -72,6 +72,13 @@ def main():
         supervise_all = False
         print('variant: mem_efficient', flush=True)
     bs, q, f, cams, ih, iw, pts = 1, 4, 3, 6, 928, 1600, 32768
+    if '--openscene' in sys.argv:
+        # vidar_OpenScene_mini_1_8_3future train shape: 8 cams, 1080x1920
+        # scaled 2/3 -> 736x1280 after /32 padding (reference
+        # configs/vidar_pretrain/OpenScene/*_3future.py:14-55)
+        cams, ih, iw = 8, 736, 1280
+        cfg['num_cams'] = 8
+        print('variant: openscene (8 cams, 736x1280)', flush=True)
     model = ViDAR(**cfg, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     batch = make_synthetic_batch(rng, bs=bs, queue_length=q, future_length=f,
