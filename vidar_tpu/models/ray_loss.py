@@ -143,6 +143,89 @@ class RayFeatures(NamedTuple):
     outside: Array      # [bs, P, G+1] bool — waypoint outside the volume
 
 
+
+def sample_sigma_rays(sigma: Array, origin: Array, r_norm: Array,
+                      gt_grids: Array, steps: Array, frame_idx: Array,
+                      chunk: Optional[int] = RAY_CHUNK,
+                      with_gt_waypoint: bool = True):
+    """Chunk-LAZY ray sampling: waypoints are recomputed per ``lax.map``
+    slice from (origin, direction, steps) instead of materializing the
+    [bs, P, G(+1), 3] waypoint tensor up front (202 MB/channel at the
+    flagship shape, carried through the fwd scan, its checkpoint
+    recompute AND the backward — the round-5 train trace priced those
+    scans at ~0.4 s/channel each way).
+
+    Returns (feats [bs, P, S], outside [bs, P, S] bool) where S = G(+1)
+    and waypoint 0 is the GT point itself when ``with_gt_waypoint``.
+    """
+    from ..ops.gather import pack_corners_2d, bilinear_weights, take_rows
+
+    bs, v, zdim, h, w = sigma.shape
+    p = gt_grids.shape[1]
+    g = steps.shape[0]
+
+    maps = sigma.transpose(0, 1, 3, 4, 2).reshape(bs * v, h, w, zdim)
+    packed = pack_corners_2d(maps)
+    rows_per = packed.shape[1]
+    flat = packed.reshape(bs * v * rows_per, 4 * zdim)
+    size = jnp.asarray([w, h, zdim], jnp.float32)
+
+    def _sample(origin_c, rn_c, gt_c, fi_c):
+        """[bs, pc, 3] x3 + [bs, pc] -> (feats, outside) [bs, pc, S]."""
+        march = (origin_c[:, :, None, :] +
+                 rn_c[:, :, None, :] * steps[None, None, :, None])
+        if with_gt_waypoint:
+            way = jnp.concatenate([gt_c[:, :, None, :], march], axis=2)
+        else:
+            way = march
+        norm = way / size * 2.0 - 1.0
+        outside_c = jnp.any((norm <= -1.0) | (norm >= 1.0), axis=-1)
+
+        pc, sg = way.shape[1], way.shape[2]
+        px = way[..., 0].astype(jnp.float32) - 0.5
+        py = way[..., 1].astype(jnp.float32) - 0.5
+        pz = way[..., 2].astype(jnp.float32) - 0.5
+        row, cw = bilinear_weights(px, py, h, w)
+        fi = fi_c[:, :, None]
+        frame_ok = (fi >= 0) & (fi < v)
+        base = (jnp.arange(bs, dtype=jnp.int32)[:, None, None] * v +
+                jnp.clip(fi, 0, v - 1)) * rows_per
+        cw_m = cw * frame_ok[..., None].astype(jnp.float32)
+        gathered = take_rows(flat, row + base)
+        gathered = gathered.reshape(bs, pc, sg, 4, zdim).astype(jnp.float32)
+        xy = jnp.einsum('bpgcz,bpgc->bpgz', gathered,
+                        cw_m.astype(jnp.float32))
+        z0 = jnp.floor(pz)
+        wz1 = pz - z0
+        iz0 = z0.astype(jnp.int32)
+        zi = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, zdim), 3)
+        w_z = (jnp.where(zi == iz0[..., None], 1.0 - wz1[..., None], 0.0) +
+               jnp.where(zi == iz0[..., None] + 1, wz1[..., None], 0.0))
+        return jnp.einsum('bpgz,bpgz->bpg', xy, w_z), outside_c
+
+    if chunk is None or p <= chunk:
+        return _sample(origin, r_norm, gt_grids, frame_idx)
+
+    pad = (-p) % chunk
+    if pad:
+        padv = lambda a: jnp.pad(a, ((0, 0), (0, pad), (0, 0)))
+        origin, r_norm, gt_grids = map(padv, (origin, r_norm, gt_grids))
+        frame_idx = jnp.pad(frame_idx, ((0, 0), (0, pad)),
+                            constant_values=-1)
+    nch = (p + pad) // chunk
+
+    def _r(a):
+        return a.reshape((bs, nch, chunk) + a.shape[2:]).transpose(
+            (1, 0, 2) + tuple(range(3, a.ndim + 1)))
+
+    feats, outside = jax.lax.map(
+        lambda ab: _sample(*ab),
+        (_r(origin), _r(r_norm), _r(gt_grids), _r(frame_idx)))
+    fix = lambda a: a.transpose(1, 0, 2, 3).reshape(
+        bs, nch * chunk, a.shape[-1])[:, :p]
+    return fix(feats), fix(outside)
+
+
 def ray_waypoint_features(sigma: Array, origin_grids: Array, gt_grids: Array,
                           frame_idx: Array, ray_grid_num: int,
                           ray_grid_step: float) -> RayFeatures:
@@ -166,21 +249,24 @@ def ray_waypoint_features(sigma: Array, origin_grids: Array, gt_grids: Array,
     origin = jnp.take_along_axis(origin_grids, fi_safe[..., None], axis=1)
 
     r = gt_grids - origin
-    r_norm = r / jnp.sqrt(jnp.maximum((r ** 2).sum(-1, keepdims=True), 1e-12))
+    r_len = jnp.sqrt(jnp.maximum((r ** 2).sum(-1, keepdims=True), 1e-12))
+    r_norm = r / r_len
     steps = (jnp.arange(g, dtype=jnp.float32) + 0.5) * ray_grid_step
-    march = origin[:, :, None, :] + r_norm[:, :, None, :] * \
-        steps[None, None, :, None]
-    way = jnp.concatenate([gt_grids[:, :, None, :], march], axis=2)
-    lengths = jnp.sqrt(((way - origin[:, :, None, :]) ** 2).sum(-1))
+    # closed-form lengths: |march_k - origin| = step_k * |r_norm| (the
+    # direction is unit except for degenerate gt==origin rays, where
+    # |r_norm| ~ 0 reproduces the old sqrt exactly); waypoint 0 is the
+    # GT point at |r|. No [bs, P, G+1, 3] waypoint tensor needed.
+    rn_len = jnp.sqrt((r_norm ** 2).sum(-1, keepdims=True))
+    lengths = jnp.concatenate(
+        [jnp.sqrt(jnp.maximum((r ** 2).sum(-1, keepdims=True), 0.0)),
+         steps[None, None, :] * rn_len], axis=2)
 
-    # normalised in [-1, 1] per axis purely for the validity tests
     size = jnp.asarray([w, h, zdim], jnp.float32)
-    norm = way / size * 2.0 - 1.0
-    outside = jnp.any((norm <= -1.0) | (norm >= 1.0), axis=-1)  # [bs,P,G+1]
-    ray_valid = jnp.all((norm[:, :, 0, :] > -1.0) &
-                        (norm[:, :, 0, :] < 1.0), axis=-1)  # [bs, P]
+    norm0 = gt_grids / size * 2.0 - 1.0
+    ray_valid = jnp.all((norm0 > -1.0) & (norm0 < 1.0), axis=-1)  # [bs, P]
 
-    feats = sample_sigma_frames(sigma, way, frame_idx)
+    feats, outside = sample_sigma_rays(sigma, origin, r_norm, gt_grids,
+                                       steps, frame_idx)
     feats = jnp.where(outside, NEG_INF, feats)
     return RayFeatures(feats, lengths, ray_valid, outside)
 
@@ -249,11 +335,12 @@ def argmax_ray_depth(sigma: Array, origin_grids: Array, gt_grids: Array,
     gt_dist = jnp.sqrt(jnp.maximum((r ** 2).sum(-1), 0.0))
     r_norm = r / jnp.sqrt(jnp.maximum((r ** 2).sum(-1, keepdims=True), 1e-12))
     steps = (jnp.arange(g, dtype=jnp.float32) + 0.5) * ray_grid_step
-    way = origin[:, :, None, :] + r_norm[:, :, None, :] * \
-        steps[None, None, :, None]
-    lengths = jnp.sqrt(((way - origin[:, :, None, :]) ** 2).sum(-1))
+    # chunk-lazy sampling + closed-form lengths (see sample_sigma_rays)
+    rn_len = jnp.sqrt((r_norm ** 2).sum(-1, keepdims=True))
+    lengths = steps[None, None, :] * rn_len
 
-    s = sample_sigma_frames(sigma, way, frame_idx)
+    s, _ = sample_sigma_rays(sigma, origin, r_norm, gt_grids, steps,
+                             frame_idx, with_gt_waypoint=False)
     s = jnp.where(s == 0.0, NEG_INF, s)
     idx = jnp.argmax(s, axis=-1)
     pred_dist = jnp.take_along_axis(lengths, idx[..., None], axis=-1)[..., 0]
