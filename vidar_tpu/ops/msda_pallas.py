@@ -412,9 +412,9 @@ def _dout_rep_mat(sc):
     return (l_ids % DIM == d_ids).astype(jnp.float32)
 
 
-def _bwd_weights_kernel(heads, idx_ref, wx_ref, wy_ref, aw_ref, dout_ref,
-                        atlas_ref, dwx_ref, dwy_ref, daw_ref, table,
-                        fbuf, obuf, sem):
+def _bwd_weights_kernel(qt, heads, idx_ref, wx_ref, wy_ref, aw_ref,
+                        dout_ref, atlas_ref, dwx_ref, dwy_ref, daw_ref,
+                        table, fbuf, obuf, sem):
     """Backward pass 1: fraction/attention-weight grads (table resident).
 
     For sample s of query q with corner values g_c and t_c = <dout_q, g_c>:
@@ -441,8 +441,6 @@ def _bwd_weights_kernel(heads, idx_ref, wx_ref, wy_ref, aw_ref, dout_ref,
         cp.wait()
 
     dmats = {sc: _dout_rep_mat(sc) for _, sc in _chunks(s)}
-    tmats = {sc: [_tsel_mat(sc, corner) for corner in range(4)]
-             for _, sc in _chunks(s)}
 
     # one fused transpose of the whole block: [3s+DIM, q] -> [q, 3s+DIM]
     fbuf[:] = _t(jnp.concatenate(
@@ -450,46 +448,50 @@ def _bwd_weights_kernel(heads, idx_ref, wx_ref, wy_ref, aw_ref, dout_ref,
          dout_ref[0, :, :]], axis=0))
 
     def tile(i, _):
-        q0 = pl.multiple_of(i * QT, QT)
-        dout_t = fbuf[pl.ds(q0, QT), 3 * s:]          # [QT, DIM]
+        q0 = pl.multiple_of(i * qt, qt)
+        dout_t = fbuf[pl.ds(q0, qt), 3 * s:]          # [qt, DIM]
         t4 = [[], [], [], []]
         for (s0, sc) in _chunks(s):
-            g = _gather_chunk(table, idx_ref, q0, s0, sc)
+            g = _gather_chunk(table, idx_ref, q0, s0, sc, qt)
             d_rep = jax.lax.dot_general(
                 dout_t, dmats[sc],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=_HI)
             m = g * d_rep                             # [QT, sc*128]
-            for corner in range(4):
-                t4[corner].append(jax.lax.dot_general(
-                    m, tmats[sc][corner],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=_HI))                   # [QT, sc]
+            # per-(sample, corner) 32-lane reductions via an add tree +
+            # cross-lane sum — the corner-select 0/1 MATMULS this
+            # replaces ([QT, sc*128] x [sc*128, sc] at HIGHEST) were
+            # K=1024 MXU-fill bound, ~2/3 of the whole backward pass
+            for k in range(sc):
+                for corner in range(4):
+                    seg = m[:, (k * 4 + corner) * DIM:
+                            (k * 4 + corner + 1) * DIM]
+                    seg = seg[:, :16] + seg[:, 16:]
+                    t4[corner].append(jnp.sum(seg, axis=1, keepdims=True))
         t0, t1, t2, t3 = [x[0] if len(x) == 1 else jnp.concatenate(x, axis=1)
                           for x in t4]                # [QT, S]
 
-        wx1 = fbuf[pl.ds(q0, QT), 0:s]                # [QT, S]
-        wy1 = fbuf[pl.ds(q0, QT), s:2 * s]
-        aw = fbuf[pl.ds(q0, QT), 2 * s:3 * s]
+        wx1 = fbuf[pl.ds(q0, qt), 0:s]                # [qt, S]
+        wy1 = fbuf[pl.ds(q0, qt), s:2 * s]
+        aw = fbuf[pl.ds(q0, qt), 2 * s:3 * s]
         wx0 = 1.0 - wx1
         wy0 = 1.0 - wy1
         daw = (wy0 * wx0 * t0 + wy0 * wx1 * t1 +
                wy1 * wx0 * t2 + wy1 * wx1 * t3)
         dwx = aw * (wy0 * (t1 - t0) + wy1 * (t3 - t2))
         dwy = aw * (wx0 * (t2 - t0) + wx1 * (t3 - t1))
-        obuf[pl.ds(q0, QT), :] = jnp.concatenate([daw, dwx, dwy], axis=1)
+        obuf[pl.ds(q0, qt), :] = jnp.concatenate([daw, dwx, dwy], axis=1)
         return 0
 
-    jax.lax.fori_loop(0, q_blk // QT, tile, 0)
+    jax.lax.fori_loop(0, q_blk // qt, tile, 0)
     # static LANE slices of the query-major buffer, one exact transpose each
     daw_ref[0, :, :] = _t(obuf[:, 0:s])
     dwx_ref[0, :, :] = _t(obuf[:, s:2 * s])
     dwy_ref[0, :, :] = _t(obuf[:, 2 * s:3 * s])
 
 
-def _bwd_table_kernel(idx_ref, wx_ref, wy_ref, aw_ref, dout_ref, dtab_ref,
-                      acc, cwbuf, dbuf, sem):
+def _bwd_table_kernel(qt, idx_ref, wx_ref, wy_ref, aw_ref, dout_ref,
+                      dtab_ref, acc, cwbuf, dbuf, sem):
     """Backward pass 2: table-gradient scatter.
 
     Row gradient of sample s is its corner-weight lanes times the query's
@@ -515,10 +517,10 @@ def _bwd_table_kernel(idx_ref, wx_ref, wy_ref, aw_ref, dout_ref, dtab_ref,
     dbuf[:] = _t(dout_ref[0, :, :])                   # [q_blk, DIM]
 
     def tile(i, _):
-        q0 = pl.multiple_of(i * QT, QT)
-        dout_t = dbuf[pl.ds(q0, QT), :]
+        q0 = pl.multiple_of(i * qt, qt)
+        dout_t = dbuf[pl.ds(q0, qt), :]
         for (s0, sc) in _chunks(s):
-            cw = cwbuf[pl.ds(q0, QT), 4 * s0:4 * (s0 + sc)]
+            cw = cwbuf[pl.ds(q0, qt), 4 * s0:4 * (s0 + sc)]
             w_rep = jax.lax.dot_general(
                 cw, emats[sc], dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=_HI)
@@ -526,15 +528,15 @@ def _bwd_table_kernel(idx_ref, wx_ref, wy_ref, aw_ref, dout_ref, dtab_ref,
                 dout_t, dmats[sc],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=_HI)
-            rg = w_rep * d_rep                        # [QT, sc*128]
-            for j in range(QT):
+            rg = w_rep * d_rep                        # [qt, sc*128]
+            for j in range(qt):
                 for k in range(sc):
                     r = idx_ref[0, s0 + k, q0 + j]
                     seg = rg[j:j + 1, k * 4 * DIM:(k + 1) * 4 * DIM]
                     acc[pl.ds(r, 1), :] = acc[pl.ds(r, 1), :] + seg
         return 0
 
-    jax.lax.fori_loop(0, q_blk // QT, tile, 0)
+    jax.lax.fori_loop(0, q_blk // qt, tile, 0)
 
     @pl.when(qb == n_qb - 1)
     def _():
@@ -560,7 +562,8 @@ def msda_gather_fused_bwd(atlas: jnp.ndarray, row_idx: jnp.ndarray,
     heads = 0 if lanes == 4 * DIM else lanes // (4 * DIM)
     c = cb * max(heads, 1)
     _, s, q = row_idx.shape
-    assert q % q_block == 0 and q_block % QT == 0
+    qt = 64 if s <= 8 else 32   # same chip-swept tiling as the forward
+    assert q % q_block == 0 and q_block % qt == 0
 
     ispec = pl.BlockSpec((1, s, q_block), lambda ci, qi: (ci, 0, qi),
                          memory_space=pltpu.SMEM)
@@ -570,7 +573,7 @@ def msda_gather_fused_bwd(atlas: jnp.ndarray, row_idx: jnp.ndarray,
                          memory_space=pltpu.VMEM)
 
     dwx, dwy, daw = pl.pallas_call(
-        functools.partial(_bwd_weights_kernel, heads),
+        functools.partial(_bwd_weights_kernel, qt, heads),
         grid=(c, q // q_block),
         in_specs=[ispec, qspec, qspec, qspec, dspec,
                   pl.BlockSpec(memory_space=pltpu.ANY)],
@@ -584,7 +587,7 @@ def msda_gather_fused_bwd(atlas: jnp.ndarray, row_idx: jnp.ndarray,
     )(row_idx, wx1, wy1, aw, dout, atlas)
 
     datlas = pl.pallas_call(
-        _bwd_table_kernel,
+        functools.partial(_bwd_table_kernel, qt),
         grid=(c, q // q_block),
         in_specs=[ispec, qspec, qspec, qspec, dspec],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
